@@ -1,0 +1,144 @@
+"""L0 math-core tests: algebraic identities against naive dense formulas.
+
+Mirrors test/util/common_covmat_ops.jl — e.g. ``Xt_invA_X(A, X) ≈ X'(A\\X)``
+(:69-97) and ``update_chol`` vs. full refactorisation (:21-37).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from abstractgps_tpu.ops import covmat
+
+
+def _psd(rng, n):
+    B = rng.standard_normal((n, n))
+    return jnp.asarray(B @ B.T + n * np.eye(n))
+
+
+@pytest.fixture
+def setup(rng):
+    n, p = 9, 4
+    A = _psd(rng, n)
+    L = covmat.cholesky_lower(A)
+    X = jnp.asarray(rng.standard_normal((n, p)))
+    Y = jnp.asarray(rng.standard_normal((n, p)))
+    x = jnp.asarray(rng.standard_normal(n))
+    return A, L, X, Y, x
+
+
+def test_cholesky_roundtrip(setup):
+    A, L, *_ = setup
+    assert np.allclose(L @ L.T, A, atol=1e-10)
+    assert np.allclose(np.tril(L), L)
+
+
+def test_solves(setup):
+    A, L, X, _, x = setup
+    assert np.allclose(covmat.solve_lower(L, X), np.linalg.solve(L, X), atol=1e-10)
+    assert np.allclose(covmat.solve_upper(L, x), np.linalg.solve(L.T, x), atol=1e-10)
+    assert np.allclose(covmat.chol_solve(L, X), np.linalg.solve(A, X), atol=1e-8)
+
+
+def test_logdet(setup):
+    A, L, *_ = setup
+    assert np.allclose(covmat.logdet_from_chol(L), np.linalg.slogdet(A)[1], atol=1e-10)
+
+
+def test_quadratic_forms_matrix(setup):
+    A, L, X, Y, x = setup
+    Ainv = np.linalg.inv(A)
+    assert np.allclose(covmat.Xt_A_X(L, X), X.T @ A @ X, atol=1e-8)
+    assert np.allclose(covmat.Xt_A_Y(X, L, Y), X.T @ A @ Y, atol=1e-8)
+    assert np.allclose(covmat.Xt_invA_X(L, X), X.T @ Ainv @ X, atol=1e-8)
+    assert np.allclose(covmat.Xt_invA_Y(X, L, Y), X.T @ Ainv @ Y, atol=1e-8)
+    assert np.allclose(covmat.diag_Xt_A_X(L, X), np.diag(X.T @ A @ X), atol=1e-8)
+    assert np.allclose(covmat.diag_Xt_A_Y(X, L, Y), np.diag(X.T @ A @ Y), atol=1e-8)
+    assert np.allclose(covmat.diag_Xt_invA_X(L, X), np.diag(X.T @ Ainv @ X), atol=1e-8)
+    assert np.allclose(covmat.diag_Xt_invA_Y(X, L, Y), np.diag(X.T @ Ainv @ Y), atol=1e-8)
+    assert np.allclose(covmat.tr_Xt_invA_X(L, X), np.trace(X.T @ Ainv @ X), atol=1e-8)
+
+
+def test_quadratic_forms_vector(setup):
+    A, L, _, _, x = setup
+    Ainv = np.linalg.inv(A)
+    assert np.allclose(covmat.Xt_A_X(L, x), x @ A @ x, atol=1e-8)
+    assert np.allclose(covmat.Xt_invA_X(L, x), x @ Ainv @ x, atol=1e-8)
+    assert np.allclose(covmat.diag_At_A(x), [x @ x], atol=1e-10)
+
+
+def test_simple_ops(setup):
+    _, _, X, Y, _ = setup
+    assert np.allclose(covmat.At_A(X), X.T @ X, atol=1e-10)
+    assert np.allclose(covmat.diag_At_A(X), np.diag(X.T @ X), atol=1e-10)
+    assert np.allclose(covmat.diag_At_B(X, Y), np.diag(X.T @ Y), atol=1e-10)
+    assert np.allclose(covmat.tr_At_A(X), np.trace(X.T @ X), atol=1e-10)
+
+
+def test_xtinv_a_xinv(rng):
+    # reference oracle: Xtinv_A_Xinv(A, A) ≈ A \ (A \ A)' = A⁻¹
+    # (test/util/common_covmat_ops.jl:96-97)
+    n = 7
+    A = _psd(rng, n)
+    L_A = covmat.cholesky_lower(A)
+    assert np.allclose(covmat.Xtinv_A_Xinv(L_A, L_A), np.linalg.inv(A), atol=1e-8)
+    # general case: matches the reference formula C·C' with
+    # C = U_A⁻¹ U_X'⁻¹ U_A' (src/util/common_covmat_ops.jl:109-110)
+    Xm = _psd(rng, n)
+    L_X = covmat.cholesky_lower(Xm)
+    U_A, U_X = np.asarray(L_A.T), np.asarray(L_X.T)
+    C = np.linalg.solve(U_A, np.linalg.solve(U_X.T, U_A.T))
+    assert np.allclose(covmat.Xtinv_A_Xinv(L_A, L_X), C @ C.T, atol=1e-8)
+
+
+def test_update_chol_vs_refactorize(rng):
+    # reference invariant: block update ≡ full refactorisation
+    # (test/util/common_covmat_ops.jl:21-37)
+    n1, n2 = 6, 4
+    C = _psd(rng, n1 + n2)
+    C11, C12, C22 = C[:n1, :n1], C[:n1, n1:], C[n1:, n1:]
+    L11 = covmat.cholesky_lower(C11)
+    L = covmat.update_chol(L11, C12, C22)
+    L_full = covmat.cholesky_lower(C)
+    assert np.allclose(L, L_full, atol=1e-8)
+
+
+def test_lowrank_update_chol(rng):
+    n, k = 6, 3
+    A = _psd(rng, n)
+    V = jnp.asarray(rng.standard_normal((n, k)))
+    L = covmat.cholesky_lower(A)
+    L_up = covmat.lowrank_update_chol(L, V)
+    assert np.allclose(L_up @ L_up.T, A + V @ V.T, atol=1e-8)
+    # vector (rank-1) path
+    v = V[:, 0]
+    L_up1 = covmat.lowrank_update_chol(L, v)
+    assert np.allclose(L_up1 @ L_up1.T, A + np.outer(v, v), atol=1e-8)
+
+
+def test_tr_at_a_grad(rng):
+    # AD correctness vs finite differences (test/util/common_covmat_ops.jl:99-105)
+    X = jnp.asarray(rng.standard_normal((5, 3)))
+    g = jax.grad(covmat.tr_At_A)(X)
+    eps = 1e-6
+    fd = np.zeros_like(X)
+    for i in range(5):
+        for j in range(3):
+            Xp = X.at[i, j].add(eps)
+            Xm = X.at[i, j].add(-eps)
+            fd[i, j] = (covmat.tr_At_A(Xp) - covmat.tr_At_A(Xm)) / (2 * eps)
+    assert np.allclose(g, fd, atol=1e-5)
+
+
+def test_update_chol_differentiable(rng):
+    n1, n2 = 4, 3
+    C = _psd(rng, n1 + n2)
+
+    def fn(C):
+        L11 = covmat.cholesky_lower(C[:n1, :n1])
+        L = covmat.update_chol(L11, C[:n1, n1:], C[n1:, n1:])
+        return jnp.sum(jnp.log(jnp.diag(L)))
+
+    g = jax.grad(fn)(C)
+    assert np.all(np.isfinite(g))

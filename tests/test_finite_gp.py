@@ -1,0 +1,161 @@
+"""FiniteGP tests — mirrors test/finite_gp_projection.jl patterns."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.stats
+
+import abstractgps_tpu as agp
+
+
+def _fx(rng, n=11, noise=0.1, mean=None):
+    x = jnp.asarray(rng.standard_normal(n))
+    f = agp.GP(mean, agp.SqExponentialKernel()) if mean is not None else agp.GP(
+        agp.SqExponentialKernel()
+    )
+    return f(x, noise), x
+
+
+def test_moments_against_kernelmatrix(rng):
+    fx, x = _fx(rng)
+    K = agp.kernelmatrix(agp.SqExponentialKernel(), x)
+    assert np.allclose(fx.mean(), np.zeros(11))
+    assert np.allclose(fx.cov(), K + 0.1 * np.eye(11), atol=1e-12)
+    assert np.allclose(fx.var(), np.diag(K) + 0.1, atol=1e-12)
+    m, C = fx.mean_and_cov()
+    assert np.allclose(m, fx.mean())
+    assert np.allclose(C, fx.cov())
+    m, v = fx.mean_and_var()
+    assert np.allclose(v, fx.var())
+
+
+def test_noise_forms(rng):
+    x = jnp.asarray(rng.standard_normal(5))
+    f = agp.GP(agp.Matern52Kernel())
+    K = np.asarray(agp.kernelmatrix(agp.Matern52Kernel(), x))
+    # isotropic
+    assert np.allclose(f(x, 0.3).cov(), K + 0.3 * np.eye(5), atol=1e-12)
+    # heteroscedastic vector
+    s = rng.random(5)
+    assert np.allclose(f(x, jnp.asarray(s)).cov(), K + np.diag(s), atol=1e-12)
+    # dense correlated
+    A = rng.standard_normal((5, 5))
+    S = A @ A.T
+    assert np.allclose(f(x, jnp.asarray(S)).cov(), K + S, atol=1e-12)
+    # default jitter
+    assert np.allclose(f(x).cov(), K + 1e-18 * np.eye(5), atol=1e-20)
+
+
+def test_logpdf_vs_scipy(rng):
+    fx, _ = _fx(rng, mean=1.5)
+    y = jnp.asarray(rng.standard_normal(11))
+    m, C = fx.mean_and_cov()
+    ref = scipy.stats.multivariate_normal(np.asarray(m), np.asarray(C)).logpdf(
+        np.asarray(y)
+    )
+    assert np.allclose(fx.logpdf(y), ref, rtol=1e-10)
+
+
+def test_logpdf_matrix_columns(rng):
+    fx, _ = _fx(rng)
+    Y = jnp.asarray(rng.standard_normal((11, 3)))
+    lps = fx.logpdf(Y)
+    assert lps.shape == (3,)
+    for j in range(3):
+        assert np.allclose(lps[j], fx.logpdf(Y[:, j]), rtol=1e-10)
+    assert np.allclose(fx.loglikelihood(Y), np.sum(lps), rtol=1e-10)
+
+
+def test_marginals(rng):
+    fx, _ = _fx(rng)
+    m, s = fx.marginals()
+    assert np.allclose(m, fx.mean())
+    assert np.allclose(s, np.sqrt(fx.var()))
+
+
+def test_rand_shapes(key, rng):
+    fx, _ = _fx(rng)
+    assert fx.rand(key).shape == (11,)
+    assert fx.rand(key, 3).shape == (11, 3)
+
+
+def test_rand_statistics(key, rng):
+    # sample moments → analytic (test/finite_gp_projection.jl:84-104)
+    fx, _ = _fx(rng, n=4, noise=0.5)
+    S = fx.rand(key, 100_000)
+    m_emp = np.mean(np.asarray(S), axis=1)
+    C_emp = np.cov(np.asarray(S))
+    assert np.allclose(m_emp, fx.mean(), atol=1e-2)
+    assert np.allclose(C_emp, fx.cov(), atol=2e-2)
+
+
+def test_sqmahal_and_gradlogpdf(rng):
+    fx, _ = _fx(rng)
+    y = jnp.asarray(rng.standard_normal(11))
+    m, C = fx.mean_and_cov()
+    Cinv = np.linalg.inv(np.asarray(C))
+    d = np.asarray(y - m)
+    assert np.allclose(fx.sqmahal(y), d @ Cinv @ d, rtol=1e-8)
+    assert np.allclose(fx.gradlogpdf(y), Cinv @ (np.asarray(m) - np.asarray(y)), rtol=1e-6, atol=1e-8)
+    assert np.allclose(fx.invcov(), Cinv, rtol=1e-6, atol=1e-8)
+    assert np.allclose(fx.logdetcov(), np.linalg.slogdet(np.asarray(C))[1], rtol=1e-10)
+    # gradlogpdf consistency with jax.grad of logpdf
+    g = jax.grad(lambda y_: fx.logpdf(y_))(y)
+    assert np.allclose(g, fx.gradlogpdf(y), rtol=1e-6, atol=1e-8)
+
+
+def test_logpdf_gradients_finite_diff(rng):
+    # AD correctness vs central differences (test/finite_gp_projection.jl:152-178)
+    x = jnp.asarray(rng.standard_normal(7))
+    y = jnp.asarray(rng.standard_normal(7))
+
+    def lp(xv, yv, s2):
+        return agp.GP(agp.SqExponentialKernel())(xv, s2).logpdf(yv)
+
+    for argnum in range(3):
+        args = [x, y, jnp.array(0.33)]
+        g = jax.grad(lp, argnums=argnum)(*args)
+        eps = 1e-6
+        flat = np.atleast_1d(np.asarray(args[argnum], dtype=np.float64))
+        g_flat = np.atleast_1d(np.asarray(g))
+        for i in range(flat.size):
+            ap = [np.asarray(a, dtype=np.float64).copy() for a in args]
+            am = [np.asarray(a, dtype=np.float64).copy() for a in args]
+            np.reshape(ap[argnum], -1)[i] += eps
+            np.reshape(am[argnum], -1)[i] -= eps
+            fd = (lp(*[jnp.asarray(a) for a in ap]) - lp(*[jnp.asarray(a) for a in am])) / (2 * eps)
+            assert np.allclose(g_flat.reshape(-1)[i], fd, rtol=1e-4, atol=1e-6)
+
+
+def test_zero_gradient_at_mean(rng):
+    # grad of logpdf wrt y is zero at y = mean (test/finite_gp_projection.jl:170-178)
+    x = jnp.asarray(rng.standard_normal(7))
+    fx = agp.GP(2.0, agp.SqExponentialKernel())(x, 0.5)
+    g = jax.grad(lambda y: fx.logpdf(y))(fx.mean())
+    assert np.allclose(g, 0.0, atol=1e-10)
+
+
+def test_dtype_stability(rng):
+    # Float32 and Float64 parametric tests (test/finite_gp_projection.jl:180-191)
+    for dt in (jnp.float32, jnp.float64):
+        x = jnp.asarray(rng.standard_normal(6), dtype=dt)
+        y = jnp.asarray(rng.standard_normal(6), dtype=dt)
+        fx = agp.GP(agp.SqExponentialKernel())(x, dt(0.1))
+        assert fx.logpdf(y).dtype == dt
+        assert fx.rand(jax.random.PRNGKey(0)).dtype == dt
+        assert fx.mean_and_var()[1].dtype == dt
+
+
+def test_jit_logpdf(rng):
+    fx, x = _fx(rng)
+    y = jnp.asarray(rng.standard_normal(11))
+    fast = jax.jit(lambda fx_, y_: fx_.logpdf(y_))
+    assert np.allclose(fast(fx, y), fx.logpdf(y), rtol=1e-12)
+
+
+def test_cross_cov(rng):
+    x1 = jnp.asarray(rng.standard_normal(5))
+    x2 = jnp.asarray(rng.standard_normal(8))
+    f = agp.GP(agp.Matern32Kernel())
+    expected = agp.kernelmatrix(agp.Matern32Kernel(), x1, x2)
+    assert np.allclose(f(x1).cov(f(x2)), expected, atol=1e-12)
