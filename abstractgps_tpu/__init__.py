@@ -51,6 +51,7 @@ from .ops.noise import (
     DiagonalNoise,
     IsotropicNoise,
 )
+from .ops.precision import get_matmul_precision, set_matmul_precision
 
 __version__ = "0.1.0"
 

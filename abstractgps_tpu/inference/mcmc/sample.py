@@ -1,0 +1,209 @@
+"""Top-level MCMC driver: windowed warmup + sampling, vmapped over chains.
+
+The reference drives AdvancedHMC by hand (examples/0-intro-1d/script.jl:
+194-203: ``NUTS`` + ``StanHMCAdaptor``, 2000 draws / 1000 warmup). Here the
+whole run — warmup with Stan's three-phase schedule and the sampling phase
+— is two jitted ``lax.scan``s, vmapped over the chain axis. Chains are an
+embarrassingly-parallel leading dimension: shard it over a mesh ``"dp"``
+axis (``parallel.chains``) and XLA keeps everything chip-local.
+
+Parameters are flat vectors internally; the public API accepts a pytree
+initial position and returns samples with the same pytree structure
+(leading dims: (num_chains, num_samples)).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from .adaptation import (
+    da_init,
+    da_update,
+    welford_init,
+    welford_update,
+    welford_variance,
+    window_schedule,
+)
+from .hmc import HMCState, hmc_init, hmc_kernel
+from .nuts import NUTSInfo, nuts_kernel
+
+__all__ = ["MCMCResult", "run_mcmc", "init_chain_positions"]
+
+
+class MCMCResult(NamedTuple):
+    positions: object        # pytree; leaves (num_chains, num_samples, ...)
+    logdens: jax.Array       # (num_chains, num_samples)
+    accept_prob: jax.Array   # (num_chains, num_samples)
+    num_steps: jax.Array     # (num_chains, num_samples) leapfrog steps/draw
+    diverging: jax.Array     # (num_chains, num_samples)
+    step_size: jax.Array     # (num_chains,) adapted ε
+    inv_mass: jax.Array      # (num_chains, dim) adapted M⁻¹ diagonal
+
+
+def init_chain_positions(key, position, num_chains: int, jitter: float = 1.0):
+    """Broadcast one pytree position to ``num_chains`` jittered copies
+    (uniform(-jitter, jitter) in flat space, Stan's default init style)."""
+    flat, unravel = ravel_pytree(position)
+    noise = jax.random.uniform(
+        key, (num_chains, flat.shape[0]), flat.dtype, -jitter, jitter
+    )
+    return jax.vmap(unravel)(flat[None, :] + noise)
+
+
+def run_mcmc(
+    logdensity: Callable,
+    init_position,
+    key,
+    *,
+    num_samples: int = 1000,
+    num_warmup: int = 1000,
+    num_chains: int | None = None,
+    algorithm: str = "nuts",
+    max_depth: int = 10,
+    num_integration_steps: int = 32,
+    initial_step_size: float = 0.1,
+    target_accept: float = 0.8,
+    thin: int = 1,
+) -> MCMCResult:
+    """Run NUTS (or fixed-length HMC) over ``logdensity``.
+
+    ``init_position`` is a pytree whose leaves carry a leading chain axis
+    (build one with ``init_chain_positions``); pass a chain-free pytree for
+    a single chain. ``logdensity`` maps the (chain-free) pytree to a scalar.
+    """
+    flat0, unravel = _flatten_chains(init_position, num_chains)
+    n_chains = flat0.shape[0]
+    dtype = flat0.dtype
+
+    def logdens_flat(q):
+        return logdensity(unravel(q))
+
+    ld_and_grad = jax.value_and_grad(logdens_flat)
+
+    def ld_and_grad_safe(q):
+        ld, g = ld_and_grad(q)
+        ld = jnp.where(jnp.isnan(ld), -jnp.inf, ld)
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
+        return ld, g
+
+    if algorithm == "nuts":
+        kernel = nuts_kernel(ld_and_grad_safe, max_depth=max_depth)
+    elif algorithm == "hmc":
+        kernel = hmc_kernel(
+            ld_and_grad_safe, num_integration_steps=num_integration_steps
+        )
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+
+    dim = flat0.shape[1]
+    is_window, is_window_end = window_schedule(num_warmup)
+
+    def warmup_chain(key, q0):
+        state0 = hmc_init(ld_and_grad_safe, q0)
+        da0 = da_init(jnp.asarray(initial_step_size, dtype))
+        wf0 = welford_init(dim, dtype)
+        inv_mass0 = jnp.ones((dim,), dtype)
+
+        def step(carry, xs):
+            key, state, da, wf, inv_mass = carry
+            in_window, window_end = xs
+            key, key_step = jax.random.split(key)
+            step_size = jnp.exp(da.log_step)
+            state, info = kernel(key_step, state, step_size, inv_mass)
+            accept_prob = (
+                info.accept_prob if isinstance(info, NUTSInfo) else info[0]
+            )
+            da = da_update(da, accept_prob, target=target_accept)
+            wf = jax.lax.cond(
+                in_window, lambda w: welford_update(w, state.q), lambda w: w, wf
+            )
+
+            def close_window(args):
+                da, wf, _ = args
+                new_inv_mass = welford_variance(wf)
+                # re-init dual averaging around the current step size
+                new_da = da_init(jnp.exp(da.log_step))
+                return new_da, welford_init(dim, dtype), new_inv_mass
+
+            da, wf, inv_mass = jax.lax.cond(
+                window_end, close_window, lambda a: a, (da, wf, inv_mass)
+            )
+            return (key, state, da, wf, inv_mass), None
+
+        (key, state, da, wf, inv_mass), _ = jax.lax.scan(
+            step, (key, state0, da0, wf0, inv_mass0), (is_window, is_window_end)
+        )
+        step_size = jnp.exp(da.log_step_avg)
+        return state, step_size, inv_mass
+
+    def sample_chain(key, state, step_size, inv_mass):
+        def step(carry, _):
+            key, state = carry
+            key, key_step = jax.random.split(key)
+            state, info = kernel(key_step, state, step_size, inv_mass)
+            if isinstance(info, NUTSInfo):
+                accept_prob = info.accept_prob
+                n_steps = info.num_steps
+                div = info.diverging
+            else:  # hmc: (accept_prob, accepted, energy)
+                accept_prob, _, _ = info
+                n_steps = jnp.asarray(num_integration_steps, jnp.int32)
+                div = jnp.asarray(False)
+            out = (state.q, state.logdens, accept_prob, n_steps, div)
+            return (key, state), out
+
+        def thinned(carry, _):
+            carry, outs = jax.lax.scan(step, carry, None, length=thin)
+            last = jax.tree_util.tree_map(lambda a: a[-1], outs)
+            return carry, last
+
+        (key, state), outs = jax.lax.scan(
+            thinned, (key, state), None, length=num_samples
+        )
+        return outs
+
+    @jax.jit
+    def run(keys, q0s):
+        kw, ks = keys[:, 0], keys[:, 1]
+        states, step_sizes, inv_masses = jax.vmap(warmup_chain)(kw, q0s)
+        outs = jax.vmap(sample_chain)(ks, states, step_sizes, inv_masses)
+        return outs, step_sizes, inv_masses
+
+    chain_keys = jax.random.split(key, n_chains * 2).reshape(n_chains, 2, -1)
+    (qs, lds, aps, nss, divs), step_sizes, inv_masses = run(chain_keys, flat0)
+
+    positions = jax.vmap(jax.vmap(unravel))(qs)
+    return MCMCResult(
+        positions=positions,
+        logdens=lds,
+        accept_prob=aps,
+        num_steps=nss,
+        diverging=divs,
+        step_size=step_sizes,
+        inv_mass=inv_masses,
+    )
+
+
+def _flatten_chains(init_position, num_chains):
+    """Flatten the init pytree to (n_chains, dim).
+
+    ``num_chains=None`` → the pytree is a single (chain-free) position;
+    otherwise every leaf must carry a leading ``num_chains`` axis (as built
+    by ``init_chain_positions``).
+    """
+    if num_chains is None:
+        flat, unravel = ravel_pytree(init_position)
+        return flat[None, :], unravel
+    one = jax.tree_util.tree_map(lambda l: l[0], init_position)
+    _, unravel = ravel_pytree(one)
+    flat0 = jax.vmap(lambda p: ravel_pytree(p)[0])(init_position)
+    if flat0.shape[0] != num_chains:
+        raise ValueError(
+            f"init_position has leading dim {flat0.shape[0]}, expected "
+            f"num_chains={num_chains}"
+        )
+    return flat0, unravel

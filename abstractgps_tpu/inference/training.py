@@ -1,0 +1,140 @@
+"""Hyperparameter training loops: MLE-II and sparse VI (ELBO) with optax.
+
+The reference trains hyperparameters outside the library with Optim.jl
+L-BFGS (examples/0-intro-1d/script.jl:369-426,
+examples/1-mauna-loa/script.jl:210-230) and Flux/Adam for stochastic ELBOs
+(examples/2-deep-kernel-learning/script.jl:91-115). Here the same loops are
+native JAX: the parameter pytree is tagged with bijectors
+(``abstractgps_tpu.params``), the loss is ``-logpdf`` or ``-elbo`` built
+from the constrained tree, and the whole optimisation runs as one jitted
+``lax.scan`` — no host round-trips between steps.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .. import params as P
+
+__all__ = [
+    "FitResult",
+    "fit",
+    "fit_lbfgs",
+    "nlml",
+    "neg_elbo",
+]
+
+
+class FitResult(NamedTuple):
+    """Optimised (still-tagged) parameter tree + per-step loss history."""
+
+    params: object
+    history: jax.Array
+
+
+def nlml(build_fx: Callable, x, y) -> Callable:
+    """Negative log marginal likelihood objective for MLE-II.
+
+    ``build_fx(theta, x)`` must return a FiniteGP for a *constrained*
+    parameter tree theta (the reference's rebuild-kernel-from-θ pattern,
+    examples/0-intro-1d/script.jl:111-117). Returns ``loss(raw_theta)``.
+    """
+
+    def loss(raw_theta):
+        fx = build_fx(P.constrain(raw_theta), x)
+        return -fx.logpdf(y)
+
+    return loss
+
+
+def neg_elbo(build_parts: Callable, x, y) -> Callable:
+    """Negative Titsias ELBO objective for sparse VI.
+
+    ``build_parts(theta, x)`` must return ``(vfe, fx)`` — the VFE wrapper
+    around the inducing projection and the data projection — for a
+    constrained theta (reference loop: examples/0-intro-1d/script.jl:384-402).
+    """
+    from ..models.sparse import elbo
+
+    def loss(raw_theta):
+        vfe, fx = build_parts(P.constrain(raw_theta), x)
+        return -elbo(vfe, fx, y)
+
+    return loss
+
+
+def fit(
+    loss: Callable,
+    theta0,
+    *,
+    optimizer: optax.GradientTransformation | None = None,
+    num_steps: int = 500,
+    learning_rate: float = 1e-2,
+    unroll: int = 1,
+) -> FitResult:
+    """Minimise ``loss(raw_theta)`` with a first-order optax optimizer.
+
+    The full loop is one jitted ``lax.scan``: per-step cost is one fused
+    XLA program (gram + Cholesky + solves + grads + Adam update) with zero
+    host synchronisation — the TPU-native replacement for the reference's
+    Optim.jl/Flux training loops.
+    """
+    if optimizer is None:
+        optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(theta0)
+
+    def step(carry, _):
+        theta, opt_state = carry
+        val, grads = jax.value_and_grad(loss)(theta)
+        updates, opt_state = optimizer.update(grads, opt_state, theta)
+        theta = optax.apply_updates(theta, updates)
+        return (theta, opt_state), val
+
+    (theta, _), history = jax.lax.scan(
+        jax.jit(step), (theta0, opt_state), None, length=num_steps, unroll=unroll
+    )
+    return FitResult(theta, history)
+
+
+def fit_lbfgs(
+    loss: Callable,
+    theta0,
+    *,
+    num_steps: int = 100,
+    memory_size: int = 20,
+    tol: float = 1e-8,
+) -> FitResult:
+    """Minimise ``loss(raw_theta)`` with L-BFGS + zoom linesearch.
+
+    Mirrors the reference's Optim.jl ``LBFGS()`` usage
+    (examples/0-intro-1d/script.jl:421-426,
+    examples/1-mauna-loa/script.jl:227-230). Runs as a bounded
+    ``while_loop`` with a gradient-norm stopping rule, fully on device.
+    """
+    optimizer = optax.lbfgs(memory_size=memory_size)
+    value_and_grad = optax.value_and_grad_from_state(loss)
+
+    def cond(carry):
+        theta, opt_state, it, gnorm = carry
+        return jnp.logical_and(it < num_steps, gnorm > tol)
+
+    def body(carry):
+        theta, opt_state, it, _ = carry
+        val, grad = value_and_grad(theta, state=opt_state)
+        updates, opt_state = optimizer.update(
+            grad, opt_state, theta, value=val, grad=grad, value_fn=loss
+        )
+        theta = optax.apply_updates(theta, updates)
+        gflat, _ = jax.flatten_util.ravel_pytree(grad)
+        return theta, opt_state, it + 1, jnp.linalg.norm(gflat)
+
+    opt_state = optimizer.init(theta0)
+    theta, opt_state, n_iter, gnorm = jax.lax.while_loop(
+        cond, body, (theta0, opt_state, jnp.asarray(0), jnp.asarray(jnp.inf))
+    )
+    final = loss(theta)
+    return FitResult(theta, jnp.stack([final, n_iter.astype(final.dtype), gnorm]))

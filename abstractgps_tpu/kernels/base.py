@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.distance import as_inputs
+from ..ops.precision import precise
 
 __all__ = [
     "Kernel",
@@ -265,6 +266,7 @@ def with_lengthscale(kernel: Kernel, lengthscale) -> TransformedKernel:
 # ---------------------------------------------------------------------------
 
 
+@precise
 def kernelmatrix(k: Kernel, x, z=None) -> jax.Array:
     """``kernelmatrix(k, x[, z])`` — gram or cross-gram matrix."""
     x = as_inputs(x)
@@ -273,6 +275,7 @@ def kernelmatrix(k: Kernel, x, z=None) -> jax.Array:
     return k.cross(x, as_inputs(z))
 
 
+@precise
 def kernelmatrix_diag(k: Kernel, x) -> jax.Array:
     """``kernelmatrix_diag(k, x)`` — diagonal of the gram matrix."""
     return k.diag(as_inputs(x))

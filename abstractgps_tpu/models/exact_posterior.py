@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import covmat
+from ..ops.precision import precise
 from .finite_gp import FiniteGP
 from .gp import AbstractGP
 
@@ -49,10 +50,12 @@ class PosteriorGP(AbstractGP):
 
     # Internal AbstractGPs API (src/exact_gpr_posterior.jl:58-90)
 
+    @precise
     def mean(self, x):
         # m(x*) + K(x*, X) α  (:60-62)
         return self.prior.mean(x) + self.prior.cov(x, self.data.x) @ self.data.alpha
 
+    @precise
     def cov(self, x, z=None):
         if z is None:
             # K** − Xt_invA_X(C, K(X, x*))  (:64-66)
@@ -63,11 +66,14 @@ class PosteriorGP(AbstractGP):
         K_Xz = self.prior.cov(self.data.x, z)
         return self.prior.cov(x, z) - covmat.Xt_invA_Y(K_Xx, self.data.L, K_Xz)
 
+    @precise
     def var(self, x):
-        # diagonal only (:68-70)
+        # diagonal only (:68-70); clamped at 0 against f32 cancellation
         K_Xx = self.prior.cov(self.data.x, x)
-        return self.prior.var(x) - covmat.diag_Xt_invA_X(self.data.L, K_Xx)
+        v = self.prior.var(x) - covmat.diag_Xt_invA_X(self.data.L, K_Xx)
+        return jnp.maximum(v, 0.0)
 
+    @precise
     def mean_and_cov(self, x):
         # fused: one cross-gram shared between mean and cov (:78-83)
         K_Xx = self.prior.cov(self.data.x, x)
@@ -75,14 +81,16 @@ class PosteriorGP(AbstractGP):
         C = self.prior.cov(x) - covmat.Xt_invA_X(self.data.L, K_Xx)
         return m, C
 
+    @precise
     def mean_and_var(self, x):
         # fused diagonal variant (:85-90)
         K_Xx = self.prior.cov(self.data.x, x)
         m = self.prior.mean(x) + K_Xx.T @ self.data.alpha
         v = self.prior.var(x) - covmat.diag_Xt_invA_X(self.data.L, K_Xx)
-        return m, v
+        return m, jnp.maximum(v, 0.0)
 
 
+@precise
 def posterior(fx: FiniteGP, y: jax.Array) -> PosteriorGP:
     """Exact conditioning: ``posterior(fx, y)``.
 
@@ -101,6 +109,7 @@ def posterior(fx: FiniteGP, y: jax.Array) -> PosteriorGP:
     return PosteriorGP(fx.f, _ExactCache(alpha, L, fx.x, delta))
 
 
+@precise
 def _sequential_posterior(fx: FiniteGP, y: jax.Array) -> PosteriorGP:
     post: PosteriorGP = fx.f
     prior = post.prior

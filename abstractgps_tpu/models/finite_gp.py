@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ..ops import covmat
 from ..ops.noise import Noise, as_noise
+from ..ops.precision import precise
 from .gp import AbstractGP
 
 __all__ = [
@@ -66,6 +67,7 @@ class FiniteGP:
     def mean(self) -> jax.Array:
         return self.f.mean(self.x)
 
+    @precise
     def cov(self, other: "FiniteGP | None" = None) -> jax.Array:
         if other is not None:
             # cross-covariance between two projections of the same process
@@ -73,13 +75,16 @@ class FiniteGP:
             return self.f.cov(self.x, other.x)
         return self.noise.add_to(self.f.cov(self.x))
 
+    @precise
     def var(self) -> jax.Array:
         return self.f.var(self.x) + self.noise.diag()
 
+    @precise
     def mean_and_cov(self):
         m, C = self.f.mean_and_cov(self.x)
         return m, self.noise.add_to(C)
 
+    @precise
     def mean_and_var(self):
         m, v = self.f.mean_and_var(self.x)
         return m, v + self.noise.diag()
@@ -92,12 +97,14 @@ class FiniteGP:
 
     # -- internals ----------------------------------------------------------
 
+    @precise
     def _chol(self):
         m, C = self.mean_and_cov()
         return m, covmat.cholesky_lower(C)
 
     # -- sampling (src/finite_gp_projection.jl:233-277) ---------------------
 
+    @precise
     def rand(self, key: jax.Array, num_samples: int | None = None) -> jax.Array:
         """Joint samples. ``None`` → (N,) vector; int n → (N, n) matrix,
         matching ``rand(rng, fx[, N])``. Uses ``m + L·ξ`` (the reference's
@@ -111,6 +118,7 @@ class FiniteGP:
 
     # -- densities (src/finite_gp_projection.jl:302-339) --------------------
 
+    @precise
     def logpdf(self, y: jax.Array) -> jax.Array:
         """Log density of a vector y, or of each column of a matrix Y
         (src/finite_gp_projection.jl:306-311)."""
@@ -119,24 +127,29 @@ class FiniteGP:
         quad = _sqmahal(m, L, y)
         return -0.5 * ((n * _LOG_2PI + covmat.logdet_from_chol(L)) + quad)
 
+    @precise
     def loglikelihood(self, Y: jax.Array) -> jax.Array:
         """Sum of per-column logpdfs (src/finite_gp_projection.jl:304)."""
         return jnp.sum(self.logpdf(Y))
 
+    @precise
     def logdetcov(self) -> jax.Array:
         _, L = self._chol()
         return covmat.logdet_from_chol(L)
 
+    @precise
     def sqmahal(self, y: jax.Array) -> jax.Array:
         """Squared Mahalanobis distance (src/finite_gp_projection.jl:315-326)."""
         m, L = self._chol()
         return _sqmahal(m, L, y)
 
+    @precise
     def gradlogpdf(self, y: jax.Array) -> jax.Array:
         """∇_y log p(y) = Σ⁻¹(m − y) (src/finite_gp_projection.jl:332-337)."""
         m, L = self._chol()
         return covmat.chol_solve(L, m - y)
 
+    @precise
     def invcov(self) -> jax.Array:
         """Precision matrix (src/finite_gp_projection.jl:98)."""
         _, L = self._chol()

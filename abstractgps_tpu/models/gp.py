@@ -20,6 +20,7 @@ import jax
 
 from ..kernels.base import Kernel
 from ..means import as_mean, mean_vector
+from ..ops.precision import precise
 from ..ops.distance import as_inputs
 
 __all__ = ["AbstractGP", "GP", "mean", "cov", "var", "mean_and_cov", "mean_and_var"]
@@ -83,14 +84,17 @@ class GP(AbstractGP):
             object.__setattr__(self, "kernel", kernel)
 
     # Internal AbstractGPs API (src/base_gp.jl:68-74)
+    @precise
     def mean(self, x):
         return mean_vector(self.mean_fn, x)
 
+    @precise
     def cov(self, x, z=None):
         if z is None:
             return self.kernel.gram(as_inputs(x))
         return self.kernel.cross(as_inputs(x), as_inputs(z))
 
+    @precise
     def var(self, x):
         return self.kernel.diag(as_inputs(x))
 

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..ops import covmat
 from ..ops.noise import Noise, noise_block_diag
+from ..ops.precision import precise
 from .finite_gp import FiniteGP, _LOG_2PI
 from .gp import AbstractGP
 
@@ -113,9 +114,11 @@ class ApproxPosteriorGP(AbstractGP):
 
     # Internal AbstractGPs API (src/sparse_approximations.jl:183-217)
 
+    @precise
     def mean(self, x):
         return self.prior.mean(x) + self.prior.cov(x, inducing_points(self)) @ self.data.alpha
 
+    @precise
     def cov(self, x, z=None):
         if z is None:
             A = self._A(x)
@@ -132,20 +135,25 @@ class ApproxPosteriorGP(AbstractGP):
             + covmat.Xt_invA_Y(A_zx, self.data.L_Lambda, A_zy)
         )
 
+    @precise
     def var(self, x):
         A = self._A(x)
-        return (
+        v = (
             self.prior.var(x)
             - covmat.diag_At_A(A)
             + covmat.diag_Xt_invA_X(self.data.L_Lambda, A)
         )
+        # clamped at 0 against f32 cancellation
+        return jnp.maximum(v, 0.0)
 
+    @precise
     def mean_and_cov(self, x):
         A = self._A(x)
         m = self.prior.mean(x) + A.T @ self.data.m_eps
         C = self.prior.cov(x) - covmat.At_A(A) + covmat.Xt_invA_X(self.data.L_Lambda, A)
         return m, C
 
+    @precise
     def mean_and_var(self, x):
         A = self._A(x)
         m = self.prior.mean(x) + A.T @ self.data.m_eps
@@ -154,7 +162,7 @@ class ApproxPosteriorGP(AbstractGP):
             - covmat.diag_At_A(A)
             + covmat.diag_Xt_invA_X(self.data.L_Lambda, A)
         )
-        return m, v
+        return m, jnp.maximum(v, 0.0)
 
 
 def inducing_points(f: ApproxPosteriorGP) -> jax.Array:
@@ -162,6 +170,7 @@ def inducing_points(f: ApproxPosteriorGP) -> jax.Array:
     return f.approx.fz.x
 
 
+@precise
 def posterior_vfe(approx: VFE | DTC, fx: FiniteGP, y: jax.Array) -> ApproxPosteriorGP:
     """Optimal approximate posterior (src/sparse_approximations.jl:58-75)."""
     fz = approx.fz
@@ -178,6 +187,7 @@ def posterior_vfe(approx: VFE | DTC, fx: FiniteGP, y: jax.Array) -> ApproxPoster
     return ApproxPosteriorGP(approx, fx.f, cache)
 
 
+@precise
 def update_posterior(f_post: ApproxPosteriorGP, fx_or_fz: FiniteGP, y=None) -> ApproxPosteriorGP:
     """Online update of a sparse posterior.
 
@@ -261,6 +271,7 @@ def _update_posterior_pseudopoints(
 # ---------------------------------------------------------------------------
 
 
+@precise
 def _compute_intermediates(fx: FiniteGP, y: jax.Array, fz: FiniteGP):
     """Shared DTC-objective assembly (src/sparse_approximations.jl:289-305)."""
     n = y.shape[0]
@@ -287,6 +298,7 @@ def approx_log_evidence(approx, fx: FiniteGP, y: jax.Array) -> jax.Array:
     return approx.approx_log_evidence(fx, y)
 
 
+@precise
 def elbo(vfe: VFE, fx: FiniteGP, y: jax.Array) -> jax.Array:
     """Titsias ELBO (src/sparse_approximations.jl:248-254):
     ``dtc_objective − (tr(Cf Σy⁻¹) − ‖A‖²_F) / 2``."""

@@ -94,10 +94,16 @@ def _fused_fwd_impl(symmetric, kernel, x, z):
         j = pl.program_id(1)
         xt = x_ref[:]  # (TN, D)
         zt = z_ref[:]  # (TM, D)
+        # Pin the dot precision: Mosaic rejects the ambient HIGH set by the
+        # library-wide precision context (ops.precision), and DEFAULT would
+        # run bf16 passes (~1e-2 gram error — fatal for Cholesky stability).
+        # HIGHEST = exact f32 MXU passes; measured max err 2e-6 vs the
+        # XLA-highest formulation at N=1024.
         g = jax.lax.dot_general(
             xt, zt,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         nx = jnp.sum(xt * xt, axis=1, keepdims=True)      # (TN, 1)
         nz = jnp.sum(zt * zt, axis=1, keepdims=True).T    # (1, TM)

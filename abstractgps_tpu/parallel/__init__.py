@@ -1,0 +1,16 @@
+"""Multi-chip SPMD execution: mesh utilities, data-parallel objectives,
+chain-parallel samplers. New TPU-first capability with no counterpart in
+the reference (SURVEY §2.2, §5)."""
+
+from .data_parallel import ShardedFitResult, fit_sharded
+from .mesh import NamedSharding, P, make_mesh, replicate, shard_along
+
+__all__ = [
+    "make_mesh",
+    "shard_along",
+    "replicate",
+    "P",
+    "NamedSharding",
+    "fit_sharded",
+    "ShardedFitResult",
+]

@@ -1,0 +1,57 @@
+"""Conformance-suite fixtures: every concrete GP type self-certifies
+against the same suites (the reference's pattern: TestUtils invoked on
+prior / exact posterior / VFE / DTC posteriors — test/base_gp.jl:13,
+test/exact_gpr_posterior.jl:27, test/sparse_approximations.jl:30)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+import abstractgps_tpu as agp
+from abstractgps_tpu.utils.test_utils import (
+    test_internal_abstractgps_interface as check_internal,
+)
+
+
+@pytest.fixture
+def data(key):
+    kx, kz, ky = jax.random.split(key, 3)
+    x = jax.random.uniform(kx, (17, 2)) * 3.0
+    z = jax.random.uniform(kz, (11, 2)) * 3.0
+    return x, z, ky
+
+
+def test_prior_conformance(data):
+    x, z, key = data
+    f = agp.GP(0.5, 1.3 * agp.with_lengthscale(agp.Matern52Kernel(), 0.8))
+    check_internal(key, f, x, z)
+
+
+def test_exact_posterior_conformance(data):
+    x, z, key = data
+    k1, k2 = jax.random.split(key)
+    f = agp.GP(agp.with_lengthscale(agp.SEKernel(), 0.9))
+    y = f(x, 0.1).rand(k1)
+    post = agp.posterior(f(x, 0.1), y)
+    check_internal(k2, post, x, z)
+
+
+@pytest.mark.parametrize("approx_cls", [agp.VFE, agp.DTC])
+def test_sparse_posterior_conformance(data, approx_cls):
+    x, z, key = data
+    k1, k2 = jax.random.split(key)
+    f = agp.GP(agp.Matern32Kernel())
+    y = f(x, 0.1).rand(k1)
+    approx = approx_cls(f(z, 1e-6))
+    post = agp.posterior(approx, f(x, 0.1), y)
+    check_internal(k2, post, x, z)
+
+
+def test_composite_kernel_prior_conformance(data):
+    x, z, key = data
+    k = (
+        1.2 * agp.with_lengthscale(agp.SEKernel(), 1.5)
+        + 0.4 * agp.with_lengthscale(agp.RationalQuadraticKernel(alpha=1.5), 0.7)
+        + 0.1 * agp.LinearKernel(c=0.5)
+    )
+    check_internal(key, agp.GP(k), x, z)
