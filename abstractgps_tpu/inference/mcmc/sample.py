@@ -68,12 +68,19 @@ def run_mcmc(
     initial_step_size: float = 0.1,
     target_accept: float = 0.8,
     thin: int = 1,
+    mesh=None,
+    mesh_axis: str = "dp",
 ) -> MCMCResult:
     """Run NUTS (or fixed-length HMC) over ``logdensity``.
 
     ``init_position`` is a pytree whose leaves carry a leading chain axis
     (build one with ``init_chain_positions``); pass a chain-free pytree for
     a single chain. ``logdensity`` maps the (chain-free) pytree to a scalar.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the chain axis is sharded
+    over ``mesh_axis`` (chains are embarrassingly parallel, so warmup and
+    sampling run with zero cross-chip traffic; SURVEY §5). ``num_chains``
+    must divide the mesh-axis size.
     """
     flat0, unravel = _flatten_chains(init_position, num_chains)
     n_chains = flat0.shape[0]
@@ -174,6 +181,11 @@ def run_mcmc(
         return outs, step_sizes, inv_masses
 
     chain_keys = jax.random.split(key, n_chains * 2).reshape(n_chains, 2, -1)
+    if mesh is not None:
+        from ...parallel.mesh import shard_along
+
+        chain_keys = shard_along(chain_keys, mesh, mesh_axis)
+        flat0 = shard_along(flat0, mesh, mesh_axis)
     (qs, lds, aps, nss, divs), step_sizes, inv_masses = run(chain_keys, flat0)
 
     positions = jax.vmap(jax.vmap(unravel))(qs)

@@ -58,11 +58,18 @@ def run_smc(
     num_moves: int = 8,
     max_stages: int = 50,
     proposal_scale: float | None = None,
+    mesh=None,
+    mesh_axis: str = "dp",
 ) -> SMCResult:
     """Temper from the prior to the posterior.
 
     ``particles0``: (N, dim) draws from the prior. ``logprior``/``loglik``
     map (dim,) → scalar. The whole run is one jitted ``while_loop``.
+
+    ``mesh``: optional Mesh — particles shard over ``mesh_axis``. Particle
+    propagation/weighting stay chip-local; the resampling gather and the
+    weight/ESS reductions lower to XLA collectives (the "resampling via
+    collectives" requirement of the BASELINE north star).
     """
     n, dim = particles0.shape
     dtype = particles0.dtype
@@ -162,5 +169,9 @@ def run_smc(
         out = jax.lax.while_loop(cond, body, init)
         return out
 
+    if mesh is not None:
+        from ...parallel.mesh import shard_along
+
+        particles0 = shard_along(particles0, mesh, mesh_axis)
     out = run(key, particles0)
     return SMCResult(out.particles, out.log_Z, out.stage, out.accept)
