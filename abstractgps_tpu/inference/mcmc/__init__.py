@@ -13,6 +13,7 @@ from .adaptation import (
     welford_variance,
     window_schedule,
 )
+from . import diagnostics
 from .ess import ESSState, ess_init, ess_kernel, run_ess
 from .hmc import HMCState, hmc_init, hmc_kernel, leapfrog
 from .nuts import NUTSInfo, nuts_kernel
@@ -42,4 +43,5 @@ __all__ = [
     "run_smc",
     "SMCResult",
     "systematic_resample",
+    "diagnostics",
 ]

@@ -1,6 +1,6 @@
-"""Utilities: plotting parity layer and downstream conformance suites."""
+"""Utilities: plotting, conformance suites, checkpointing, profiling."""
 
-from . import test_utils
+from . import checkpoint, profiling, test_utils
 from .plotting import plot_gp, sampleplot
 
-__all__ = ["plot_gp", "sampleplot", "test_utils"]
+__all__ = ["plot_gp", "sampleplot", "test_utils", "checkpoint", "profiling"]

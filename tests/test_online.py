@@ -1,0 +1,66 @@
+"""Online (streaming) conditioning: padded static-shape updates must equal
+batch conditioning exactly (the reference's sequential≡batch invariant,
+test/exact_gpr_posterior.jl:29-43, under jit-stable shapes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import abstractgps_tpu as agp
+from abstractgps_tpu.models.online import (
+    online_extend,
+    online_init,
+    online_mean_and_var,
+)
+
+
+def test_online_matches_batch(key):
+    k1, k2, k3 = jax.random.split(key, 3)
+    n, b, d = 32, 8, 2
+    x = jax.random.uniform(k1, (n, d))
+    f = agp.GP(agp.Matern52Kernel())
+    y = f(x, 0.1).rand(k2)
+    x_test = jax.random.uniform(k3, (10, d))
+
+    state = online_init(f, capacity=64, input_dim=d, dtype=x.dtype)
+    for i in range(0, n, b):
+        state = online_extend(state, x[i:i + b], y[i:i + b], 0.1)
+    mu_o, var_o = online_mean_and_var(state, x_test)
+
+    post = agp.posterior(f(x, 0.1), y)
+    mu_b, var_b = post.mean_and_var(x_test)
+
+    np.testing.assert_allclose(mu_o, mu_b, rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(var_o, var_b, rtol=1e-7, atol=1e-8)
+    assert int(state.count) == n
+
+
+def test_online_compiles_once_under_scan(key):
+    # the whole streaming loop is one compiled program
+    k1, k2 = jax.random.split(key)
+    n, b, d = 48, 8, 1
+    x = jnp.sort(jax.random.uniform(k1, (n,)))[:, None]
+    f = agp.GP(agp.SEKernel())
+    y = f(x, 0.05).rand(k2)
+
+    state0 = online_init(f, capacity=n, input_dim=d, dtype=x.dtype)
+    blocks = (x.reshape(n // b, b, d), y.reshape(n // b, b))
+
+    @jax.jit
+    def stream(state, blocks):
+        def step(s, xy):
+            xb, yb = xy
+            s = online_extend(s, xb, yb, 0.05)
+            m, v = online_mean_and_var(s, x[:4])
+            return s, (m, v)
+
+        return jax.lax.scan(step, state, blocks)
+
+    state, (ms, vs) = stream(state0, blocks)
+    post = agp.posterior(f(x, 0.05), y)
+    mu_b, var_b = post.mean_and_var(x[:4])
+    np.testing.assert_allclose(ms[-1], mu_b, rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(vs[-1], var_b, rtol=1e-6, atol=1e-8)
+    # intermediate predictions must be finite and variances shrink over time
+    assert np.isfinite(np.asarray(ms)).all()
+    assert float(vs[0].mean()) >= float(vs[-1].mean()) - 1e-9
