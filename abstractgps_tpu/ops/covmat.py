@@ -71,8 +71,16 @@ def cholesky_lower(A: jax.Array) -> jax.Array:
 
     Symmetrises first (reference always factorises ``_symmetric(A)``, e.g.
     src/finite_gp_projection.jl:308). Returns L with ``L L' = A``.
+
+    Large f32 matrices on TPU dispatch to the Pallas blocked factorization
+    (ops/pallas_chol.py); everything else uses XLA's built-in Cholesky.
     """
-    return lax.linalg.cholesky(symmetrize(A))
+    from . import pallas_chol
+
+    S = symmetrize(A)
+    if pallas_chol.should_use_pallas(S):
+        return pallas_chol.pallas_cholesky(S)
+    return lax.linalg.cholesky(S)
 
 
 def solve_lower(L: jax.Array, B: jax.Array) -> jax.Array:

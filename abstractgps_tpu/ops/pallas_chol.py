@@ -1,0 +1,231 @@
+"""Pallas blocked Cholesky / TRSM kernels (the factorization hot path).
+
+Reference semantics: every ``cholesky(_symmetric(...))`` call site —
+src/finite_gp_projection.jl:235,273,308, src/exact_gpr_posterior.jl:31,
+src/sparse_approximations.jl:61-69,296-305. The reference delegates to
+LAPACK ``dpotrf``; the TPU-native design is a right-looking blocked
+factorization
+
+    for each panel k:
+        L_kk = chol(A_kk)                (Pallas VMEM kernel, serial part)
+        L_21 = A_21 · L_kk^{-T}          (GEMM on the MXU)
+        A_22 -= L_21 · L_21'             (SYRK, GEMM on the MXU)
+
+where the O(B³) *serial* diagonal-block factorization — the part XLA's
+CholeskyExpander emits as a long dependent HLO chain — is a single Pallas
+kernel doing B rank-1 VPU updates entirely in VMEM, and everything O(N²·B)
+and above is a plain MXU matmul that XLA schedules optimally. The B×B
+triangular inverse used to turn the panel TRSM into a GEMM costs O(B³)
+once per panel and is numerically safe here: diagonal blocks of a jittered
+PSD matrix are themselves well-conditioned.
+
+Differentiation is a ``custom_jvp`` implementing the Cholesky differential
+(Murray 2016): with ``X = L⁻¹ Ȧ L⁻ᵀ``, ``L̇ = L·φ(X)``, ``φ`` = strict lower
+triangle plus half the diagonal. The rule is linear in the tangent, so JAX
+derives the reverse mode by transposition — no refactorization and no
+fallback to ``lax.linalg`` on the backward pass.
+
+``blocked_solve_lower`` applies the same invert-diagonal-block + GEMM
+strategy to large triangular solves (reference ``U' \\ B`` sites).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_INTERPRET = False  # set True in tests to run the kernels on CPU
+_ENABLED = True
+_MIN_N = 1024       # below this XLA's expander is already fine
+_BLOCK = 256        # panel width; multiple of the 128 MXU tile
+
+
+def set_enabled(flag: bool) -> None:
+    global _ENABLED
+    _ENABLED = flag
+
+
+def set_interpret(flag: bool) -> None:
+    global _INTERPRET
+    _INTERPRET = flag
+
+
+def should_use_pallas(A: jax.Array) -> bool:
+    if not _ENABLED:
+        return False
+    if not _INTERPRET and jax.default_backend() != "tpu":
+        return False
+    if A.ndim != 2 or A.dtype != jnp.float32:
+        return False
+    return A.shape[-1] >= _MIN_N
+
+
+# ---------------------------------------------------------------------------
+# Diagonal-block factorization: one Pallas kernel, B rank-1 updates in VMEM.
+# ---------------------------------------------------------------------------
+
+
+def _chol_block_body(a_ref, l_ref):
+    # Masked-vector formulation: no dynamic slicing (Mosaic-safe) — column j
+    # is extracted and written back with broadcasted-iota masks, and the
+    # trailing matrix gets a rank-1 VPU update per step.
+    B = a_ref.shape[0]
+    rows = lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    rows1 = rows[:, :1]  # (B, 1)
+
+    def step(j, carry):
+        M, L = carry
+        colmask = cols == j
+        # pivot = M[j, j] after all previous rank-1 updates
+        piv = jnp.sum(jnp.where((rows == j) & colmask, M, 0.0))
+        inv_piv = lax.rsqrt(piv)
+        col = jnp.sum(jnp.where(colmask, M, 0.0), axis=1, keepdims=True)
+        col = jnp.where(rows1 >= j, col * inv_piv, 0.0)  # (B, 1)
+        # rank-1 trailing update; col is zero above row j so only the
+        # lower-right submatrix is touched
+        M = M - col * col.T
+        L = jnp.where(colmask, col, L)
+        return M, L
+
+    M0 = a_ref[:]
+    L0 = jnp.zeros_like(M0)
+    _, L = lax.fori_loop(0, B, step, (M0, L0))
+    l_ref[:] = L
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _chol_block(A: jax.Array, interpret: bool = False) -> jax.Array:
+    """Unblocked Cholesky of one (B, B) VMEM-resident block."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.pallas_call(
+        _chol_block_body,
+        out_shape=jax.ShapeDtypeStruct(A.shape, A.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(A)
+
+
+def _inv_lower(L: jax.Array) -> jax.Array:
+    """Dense inverse of a small lower-triangular block (for TRSM→GEMM)."""
+    eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+    return lax.linalg.triangular_solve(
+        L, eye, left_side=True, lower=True, transpose_a=False
+    )
+
+
+def _hi(x):
+    return lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_hi(a))
+
+
+# ---------------------------------------------------------------------------
+# Blocked right-looking driver (static Python loop — shapes fixed at trace).
+# ---------------------------------------------------------------------------
+
+
+def _blocked_cholesky_impl(A: jax.Array, block: int) -> jax.Array:
+    n = A.shape[-1]
+    pad = (-n) % block
+    if pad:
+        # keep the padded trailing corner SPD: identity diagonal
+        A = jnp.pad(A, ((0, pad), (0, pad)))
+        A = A + jnp.diag(jnp.concatenate(
+            [jnp.zeros((n,), A.dtype), jnp.ones((pad,), A.dtype)]
+        ))
+    np_ = n + pad
+    nb = np_ // block
+
+    # column panels of L, assembled at the end
+    panels = []
+    T = A  # trailing matrix, shrinks by one panel per step
+    for k in range(nb):
+        Akk = T[:block, :block]
+        Lkk = _chol_block(Akk, interpret=_INTERPRET)
+        rest = T.shape[0] - block
+        if rest > 0:
+            invT = _inv_lower(Lkk).T              # L_kk^{-T}, (B, B)
+            L21 = _mm(T[block:, :block], invT)    # (rest, B) GEMM
+            T = T[block:, block:] - _mm(L21, L21.T)  # SYRK via GEMM
+            col = jnp.concatenate([Lkk, L21], axis=0)
+        else:
+            col = Lkk
+        panels.append(
+            jnp.concatenate(
+                [jnp.zeros((k * block, block), A.dtype), col], axis=0
+            )
+        )
+    L = jnp.concatenate(panels, axis=1)
+    L = jnp.tril(L)
+    return L[:n, :n] if pad else L
+
+
+@jax.custom_jvp
+def pallas_cholesky(A: jax.Array) -> jax.Array:
+    """Blocked Pallas Cholesky of a symmetric PSD matrix (lower factor).
+
+    Non-PSD inputs propagate NaNs (rsqrt of a negative pivot), matching the
+    inf-logpdf → MCMC-rejection failure policy (SURVEY §5 failure detection).
+    """
+    return _blocked_cholesky_impl(A, _BLOCK)
+
+
+@pallas_cholesky.defjvp
+def _pallas_cholesky_jvp(primals, tangents):
+    (A,), (Adot,) = primals, tangents
+    L = pallas_cholesky(A)
+    # X = L⁻¹ sym(Ȧ) L⁻ᵀ ;  L̇ = L φ(X),  φ = tril strict + ½·diag
+    S = 0.5 * (Adot + Adot.T)
+    W = lax.linalg.triangular_solve(L, S, left_side=True, lower=True)
+    X = lax.linalg.triangular_solve(
+        L, W.T, left_side=True, lower=True
+    ).T
+    phi = jnp.tril(X, -1) + 0.5 * jnp.diag(jnp.diagonal(X))
+    return L, _mm(L, phi)
+
+
+# ---------------------------------------------------------------------------
+# Blocked TRSM: solve L X = B with diagonal-block inverses + GEMMs.
+# ---------------------------------------------------------------------------
+
+
+def blocked_solve_lower(L: jax.Array, B: jax.Array, block: int = _BLOCK):
+    """Solve ``L X = B`` (L lower-triangular) by block forward substitution.
+
+    Each diagonal block is inverted once (O(B³)); off-diagonal updates are
+    GEMMs, so the whole solve is MXU-bound. Used for the O(N²·M) posterior
+    whitening solves (reference ``C.U' \\ C_xcond_x``, §3.3).
+    """
+    n = L.shape[-1]
+    b_vec = B.ndim == 1
+    Bm = B[:, None] if b_vec else B
+    pad = (-n) % block
+    if pad:
+        L = jnp.pad(L, ((0, pad), (0, pad))) + jnp.diag(
+            jnp.concatenate([jnp.zeros((n,), L.dtype), jnp.ones((pad,), L.dtype)])
+        )
+        Bm = jnp.pad(Bm, ((0, pad), (0, 0)))
+    np_ = n + pad
+    nb = np_ // block
+
+    xs = []
+    R = Bm  # remaining rhs rows, shrinks by one block per step
+    for k in range(nb):
+        Lkk = L[k * block:(k + 1) * block, k * block:(k + 1) * block]
+        Xk = _mm(_inv_lower(Lkk), R[:block])
+        rest = R.shape[0] - block
+        if rest > 0:
+            L_below = L[(k + 1) * block:, k * block:(k + 1) * block]
+            R = R[block:] - _mm(L_below, Xk)
+        xs.append(Xk)
+    X = jnp.concatenate(xs, axis=0)[:n]
+    return X[:, 0] if b_vec else X
