@@ -4,6 +4,7 @@ the reference (SURVEY §2.2, §5)."""
 
 from .data_parallel import ShardedFitResult, fit_sharded
 from .mesh import NamedSharding, P, make_mesh, replicate, shard_along
+from .sharded_linalg import distributed_cholesky, sharded_gram, sharded_logpdf
 
 __all__ = [
     "make_mesh",
@@ -13,4 +14,7 @@ __all__ = [
     "NamedSharding",
     "fit_sharded",
     "ShardedFitResult",
+    "distributed_cholesky",
+    "sharded_gram",
+    "sharded_logpdf",
 ]
