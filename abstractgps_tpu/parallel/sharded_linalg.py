@@ -13,7 +13,9 @@ Layout. With D devices on axis ``tp``, panel width B, and padded size
 ``g % D`` at local slot ``g // D`` — classic 1-D block-cyclic, which keeps
 the trailing-update FLOPs balanced as the factorization shrinks.
 
-Per panel ``k`` (all static Python loop → one traced XLA program):
+Per panel ``k`` (a ``lax.fori_loop`` with fixed-shape masked updates, so the
+traced program and compile time are O(1) in the number of panels — thousands
+of panels compile to one loop body):
 
 1. owner's updated diagonal block → ``psum``-broadcast (B×B over ICI),
    every device factorizes the tiny block redundantly (cheaper than a
@@ -103,64 +105,85 @@ def _reorder_gather(parts: jax.Array, nb_local: int, block: int, ndev: int):
 
 
 def _factorize_slab(A_loc, delta_loc, *, nb, block, ndev, axis, with_rhs):
-    """Shared in-shard factorization sweep.
+    """Shared in-shard factorization sweep (one ``lax.fori_loop`` over panels).
 
     ``A_loc``: (nb_local·B, Np) block-cyclic row slab of the padded SPD
     matrix; returns the slab overwritten with rows of L (junk above the
-    diagonal — callers mask), plus (logdet, sqmahal, z-blocks) when
-    ``with_rhs``.
+    diagonal — callers mask), plus (logdet, sqmahal (q,), z (Np, q)) when
+    ``with_rhs`` (``delta_loc`` is a (nb_local·B, q) multi-RHS slab).
+
+    All per-panel slices use ``lax.dynamic_slice`` / masked full-width GEMMs
+    so every iteration has identical shapes: the trailing update multiplies
+    against the full-width panel with rows above the diagonal zeroed, which
+    touches exactly the columns the shrinking-update formulation would.
+    Compile time is therefore O(1) in ``nb`` (the advisor's round-1 O(nb²)
+    trace-growth finding), at the cost of ~2× the triangular FLOP count —
+    the right trade at the beyond-one-chip scales this module targets.
     """
     d = lax.axis_index(axis)
     S = A_loc.shape[0]
     npad = A_loc.shape[1]
     nb_local = nb // ndev
     rows_g = _local_rows(nb_local, block, ndev, d)  # (S,)
+    cols_g = jnp.arange(npad, dtype=jnp.int32)
+    q = 0 if not with_rhs else delta_loc.shape[1]
 
-    logdet = jnp.zeros((), A_loc.dtype)
-    sqmahal = jnp.zeros((), A_loc.dtype)
-    zs = []
-
-    for k in range(nb):
+    def body(k, carry):
+        A_loc, delta_loc, logdet, sqmahal, z = carry
         owner = k % ndev
         lk = k // ndev
-        c0, c1 = k * block, (k + 1) * block
-        mine = (d == owner)
+        c0 = k * block
+        mine = d == owner
 
         # 1. replicated diagonal block (psum of the owner's candidate)
-        cand = A_loc[lk * block:(lk + 1) * block, c0:c1]
+        cand = lax.dynamic_slice(A_loc, (lk * block, c0), (block, block))
         diag = lax.psum(jnp.where(mine, cand, jnp.zeros_like(cand)), axis)
         Lkk = lax.linalg.cholesky(diag)
         invT = _inv_lower(Lkk).T
 
-        # 2. local panel rows below the diagonal block
-        below = (rows_g >= c1)[:, None]
-        L21 = jnp.where(below, _mm(A_loc[:, c0:c1], invT), 0.0)
+        # 2. local panel rows strictly below the diagonal block
+        below = (rows_g >= c0 + block)[:, None]
+        pan_cols = lax.dynamic_slice(A_loc, (0, c0), (S, block))
+        L21 = jnp.where(below, _mm(pan_cols, invT), 0.0)
 
         # 3. full panel column in global row order (the one O(N) collective)
         panel = _reorder_gather(lax.all_gather(L21, axis), nb_local, block, ndev)
 
-        # 4. trailing SYRK update + finalize this panel's columns
-        if c1 < npad:
-            A_loc = A_loc.at[:, c1:].add(-_mm(L21, panel[c1:, :].T))
-        own_rows = jnp.zeros((S, block), A_loc.dtype)
-        own_rows = own_rows.at[lk * block:(lk + 1) * block, :].set(Lkk)
+        # 4. trailing SYRK update: full-width GEMM against the panel with
+        # rows ≤ diagonal zeroed — updates exactly the columns > panel.
+        panel_m = jnp.where((cols_g >= c0 + block)[:, None], panel, 0.0)
+        A_loc = A_loc - _mm(L21, panel_m.T)
+
+        # finalize this panel's columns (L21 below, Lkk on the owner's row)
+        own_rows = lax.dynamic_update_slice(
+            jnp.zeros((S, block), A_loc.dtype), Lkk, (lk * block, 0)
+        )
         final = L21 + jnp.where(mine, own_rows, jnp.zeros_like(own_rows))
-        A_loc = A_loc.at[:, c0:c1].set(final)
+        A_loc = lax.dynamic_update_slice(A_loc, final, (0, c0))
 
         if with_rhs:
             # forward-substitute δ through this panel (replicated z_k)
-            dcand = delta_loc[lk * block:(lk + 1) * block]
+            dcand = lax.dynamic_slice(delta_loc, (lk * block, 0), (block, q))
             dk = lax.psum(jnp.where(mine, dcand, jnp.zeros_like(dcand)), axis)
-            zk = lax.linalg.triangular_solve(
-                Lkk, dk[:, None], left_side=True, lower=True
-            )[:, 0]
-            delta_loc = delta_loc - _mm(L21, zk[:, None])[:, 0]
+            zk = lax.linalg.triangular_solve(Lkk, dk, left_side=True, lower=True)
+            delta_loc = delta_loc - _mm(L21, zk)
             logdet = logdet + jnp.sum(jnp.log(jnp.diagonal(Lkk)))
-            sqmahal = sqmahal + jnp.dot(zk, zk, precision=_hi(zk))
-            zs.append(zk)
+            sqmahal = sqmahal + jnp.sum(jnp.square(zk), axis=0)
+            z = lax.dynamic_update_slice(z, zk, (c0, 0))
+        return (A_loc, delta_loc, logdet, sqmahal, z)
 
+    if not with_rhs:
+        delta_loc = jnp.zeros((S, 0), A_loc.dtype)
+    init = (
+        A_loc,
+        delta_loc,
+        jnp.zeros((), A_loc.dtype),
+        jnp.zeros((q,), A_loc.dtype),
+        jnp.zeros((npad, q), A_loc.dtype),
+    )
+    A_loc, _, logdet, sqmahal, z = lax.fori_loop(0, nb, body, init)
     if with_rhs:
-        return A_loc, logdet, sqmahal, jnp.concatenate(zs)
+        return A_loc, logdet, sqmahal, z
     return A_loc
 
 
@@ -170,10 +193,16 @@ def distributed_cholesky(
     """Lower Cholesky factor of SPD ``A`` via the distributed sweep.
 
     Matches ``cholesky(_symmetric(A)).L`` (src/util/common_covmat_ops.jl:
-    12-15) on a D-device mesh axis. ``A`` may be any (n, n) array; it is
-    padded to a block-cyclic layout internally. The result is returned in
-    natural order (row-sharded over ``axis``), so tests can compare against
-    a single-device factorization directly.
+    12-15) on a D-device mesh axis.
+
+    **Scope**: this entry point is a test/oracle wrapper around the scalable
+    ``_factorize_slab`` sweep — it takes a fully materialised (n, n) array,
+    permutes it into block-cyclic layout on the host side of the shard_map,
+    and returns the factor in natural order, so tests can compare against a
+    single-device factorization directly. It therefore does NOT itself scale
+    past one chip's HBM; the scalable production path is ``sharded_logpdf``,
+    which builds each device's gram slab on-device and never materialises
+    anything N×N on fewer than D chips.
     """
     n = A.shape[-1]
     ndev = mesh.shape[axis]
@@ -201,6 +230,7 @@ def distributed_cholesky(
         mesh=mesh,
         in_specs=P(axis, None),
         out_specs=P(axis, None),
+        check_vma=False,  # pallas_call outputs carry no vma annotation
     )
     def run(A_loc):
         return _factorize_slab(
@@ -230,7 +260,24 @@ def sharded_logpdf(
     replicated inputs, the distributed sweep factorizes it, and ``δ = y − m``
     forward-substitutes through the same sweep. Peak per-device memory is
     ~2·Np²/D floats; nothing N×N is ever replicated.
+
+    ``y`` may be a vector (n,) → scalar, or a matrix (n, q) → (q,) of
+    column-wise log-densities (reference matrix-logpdf,
+    src/finite_gp_projection.jl:306-311); the extra columns ride through the
+    same sweep as additional RHS.
+
+    Correlated (dense) noise is rejected: the sweep consumes only the noise
+    diagonal, so silently accepting a DenseNoise would drop its
+    off-diagonals.
     """
+    from ..ops.noise import DenseNoise
+
+    if isinstance(fx.noise, DenseNoise):
+        raise NotImplementedError(
+            "sharded_logpdf supports isotropic/diagonal noise only; a dense "
+            "(correlated) noise covariance would be silently truncated to its "
+            "diagonal. Use fx.logpdf(y) for DenseNoise."
+        )
     prior = fx.f
     x = fx.x
     noise_diag = fx.noise.diag()  # (N,)
@@ -240,13 +287,21 @@ def sharded_logpdf(
     nb = npad // block
     nb_local = nb // ndev
 
+    y = jnp.asarray(y)
+    if y.ndim not in (1, 2) or y.shape[0] != n:
+        raise ValueError(
+            f"y must be (n,) or (n, q) with n={n}; got shape {y.shape}"
+        )
+    y_vec = y.ndim == 1
+    Y = y[:, None] if y_vec else y
+
     m = prior.mean(x)
-    delta = y - m
+    delta = Y - m[:, None]
     kern = prior.kernel
 
     if npad != n:
         xp = jnp.pad(x, ((0, npad - n),) + ((0, 0),) * (x.ndim - 1))
-        delta = jnp.pad(delta, (0, npad - n))
+        delta = jnp.pad(delta, ((0, npad - n), (0, 0)))
         noise_diag = jnp.pad(noise_diag, (0, npad - n))
     else:
         xp = x
@@ -258,6 +313,7 @@ def sharded_logpdf(
         mesh=mesh,
         in_specs=(P(), P(), P()),
         out_specs=(P(), P()),
+        check_vma=False,  # the Pallas gram kernel's outputs carry no vma
     )
     def run(xp_rep, delta_rep, noise_rep):
         d = lax.axis_index(axis)
@@ -273,11 +329,12 @@ def sharded_logpdf(
         pad_r = (rows_g[:, None] >= n) | (cols_g >= n)
         K_loc = jnp.where(pad_r, jnp.where(on_diag, 1.0, 0.0), K_loc)
 
-        delta_loc = jnp.take(delta_rep, rows_g)
+        delta_loc = jnp.take(delta_rep, rows_g, axis=0)
         _, logdet, sq, _ = _factorize_slab(
             K_loc, delta_loc, nb=nb, block=block, ndev=ndev, axis=axis, with_rhs=True
         )
         return logdet, sq
 
     logdet, sq = jax.jit(run)(xp, delta, noise_diag.astype(dtype))
-    return -0.5 * (n * _LOG_2PI + 2.0 * logdet + sq)
+    out = -0.5 * (n * _LOG_2PI + 2.0 * logdet + sq)  # (q,)
+    return out[0] if y_vec else out
