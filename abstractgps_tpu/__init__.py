@@ -42,6 +42,15 @@ from .models.sparse import (
     inducing_points,
     update_posterior,
 )
+from .models.svgp import (
+    SVGP,
+    SVGPPosterior,
+    fit_svgp,
+    svgp_elbo,
+    svgp_elbo_quadrature,
+    svgp_init,
+    svgp_posterior,
+)
 from .models import exact_posterior as _exact
 from .models import sparse as _sparse
 from .ops.distance import as_inputs, col_vecs, row_vecs

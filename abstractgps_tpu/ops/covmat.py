@@ -69,18 +69,20 @@ def add_jitter(A: jax.Array, jitter) -> jax.Array:
 def cholesky_lower(A: jax.Array) -> jax.Array:
     """Lower-triangular Cholesky of a symmetric PSD matrix.
 
-    Symmetrises first (reference always factorises ``_symmetric(A)``, e.g.
-    src/finite_gp_projection.jl:308). Returns L with ``L L' = A``.
+    Reference always factorises ``_symmetric(A)`` — i.e. reads one triangle
+    (src/finite_gp_projection.jl:308, src/util/common_covmat_ops.jl:5-8).
+    Returns L with ``L L' = A``.
 
     Large f32 matrices on TPU dispatch to the Pallas blocked factorization
-    (ops/pallas_chol.py); everything else uses XLA's built-in Cholesky.
+    (ops/pallas_chol.py), whose left-looking sweep reads ONLY the lower
+    triangle — the ``Symmetric`` guarantee with zero extra HBM passes.
+    Everything else symmetrises by averaging and uses XLA's Cholesky.
     """
     from . import pallas_chol
 
-    S = symmetrize(A)
-    if pallas_chol.should_use_pallas(S):
-        return pallas_chol.pallas_cholesky(S)
-    return lax.linalg.cholesky(S)
+    if pallas_chol.should_use_pallas(A):
+        return pallas_chol.pallas_cholesky(A)
+    return lax.linalg.cholesky(symmetrize(A))
 
 
 def solve_lower(L: jax.Array, B: jax.Array) -> jax.Array:

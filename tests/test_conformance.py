@@ -47,6 +47,22 @@ def test_sparse_posterior_conformance(data, approx_cls):
     check_internal(k2, post, x, z)
 
 
+def test_svgp_posterior_conformance(data):
+    # the SVGP variational posterior is an AbstractGP too (posteriors-are-GPs)
+    x, z, key = data
+    k1, k2 = jax.random.split(key)
+    f = agp.GP(agp.Matern32Kernel())
+    y = f(x, 0.1).rand(k1)
+    from abstractgps_tpu.models.svgp import (
+        optimal_variational_params,
+        set_variational,
+    )
+
+    sv = agp.svgp_init(agp.Matern32Kernel(), z, jitter=1e-8)
+    sv = set_variational(sv, *optimal_variational_params(sv, x, y, 0.1))
+    check_internal(k2, agp.svgp_posterior(sv), x, z)
+
+
 def test_composite_kernel_prior_conformance(data):
     x, z, key = data
     k = (

@@ -38,3 +38,20 @@ def test_parametric_heteroscedastic_smoke():
 
     inside = parametric_heteroscedastic.main(smoke=True)
     assert inside > 0.9
+
+
+def test_sparse_vfe_50k_smoke():
+    import sparse_vfe_50k
+
+    sv, trace = sparse_vfe_50k.main(smoke=True)
+    import numpy as np
+
+    assert np.isfinite(np.asarray(trace)).all()
+    assert float(trace[-1]) > float(trace[0])
+
+
+def test_latent_poisson_nuts_smoke():
+    import latent_poisson_nuts
+
+    mcmc = latent_poisson_nuts.main(smoke=True)
+    assert float(mcmc.accept_prob.mean()) > 0.2
