@@ -102,8 +102,8 @@ def posterior(fx: FiniteGP, y: jax.Array) -> PosteriorGP:
     """
     if isinstance(fx.f, PosteriorGP):
         return _sequential_posterior(fx, y)
-    m, C = fx.mean_and_cov()
-    L = covmat.cholesky_lower(C)
+    # routes through the fused gram→Cholesky sweep at TPU scale
+    m, L = fx._chol()
     delta = y - m
     alpha = covmat.chol_solve(L, delta)
     return PosteriorGP(fx.f, _ExactCache(alpha, L, fx.x, delta))

@@ -99,6 +99,22 @@ class FiniteGP:
 
     @precise
     def _chol(self):
+        """(mean, chol(cov)) — the O(N³) hot spot.
+
+        For a kernel-based prior with diagonal-structured noise at TPU
+        scale, this routes through the fused gram→Cholesky sweep
+        (ops/pallas_chol.cholesky_gram): the N×N covariance is built
+        panel-by-panel inside the factorization and never written to HBM.
+        """
+        from ..ops import pallas_chol
+        from ..ops.noise import DenseNoise
+        from .gp import GP
+
+        if isinstance(self.f, GP) and not isinstance(self.noise, DenseNoise):
+            nd = self.noise.diag().astype(self.x.dtype)
+            if pallas_chol.should_use_fused_gram(self.x, nd):
+                m = self.f.mean(self.x)
+                return m, pallas_chol.cholesky_gram(self.f.kernel, self.x, nd)
         m, C = self.mean_and_cov()
         return m, covmat.cholesky_lower(C)
 

@@ -213,6 +213,117 @@ def _pallas_cholesky_jvp(primals, tangents):
 
 
 # ---------------------------------------------------------------------------
+# Fused gram → Cholesky: K + diag(σ²) is never materialised in HBM.
+# ---------------------------------------------------------------------------
+
+
+def should_use_fused_gram(x: jax.Array, noise_diag: jax.Array) -> bool:
+    """Gate for ``cholesky_gram``: TPU, f32, large N (same policy as
+    ``should_use_pallas``)."""
+    if not _ENABLED:
+        return False
+    if not _INTERPRET and jax.default_backend() != "tpu":
+        return False
+    if x.dtype != jnp.float32 or noise_diag.dtype != jnp.float32:
+        return False
+    return x.shape[0] >= _MIN_N
+
+
+def _peel_transforms(kernel, x):
+    """Apply input transforms once up front (they are pointwise in the
+    inputs), so the per-panel cross-gram doesn't re-run them nb times.
+    Matters for FunctionTransform feature maps (deep kernels)."""
+    from ..kernels.base import TransformedKernel
+
+    while isinstance(kernel, TransformedKernel):
+        x = kernel.transform(x)
+        kernel = kernel.kernel
+    return kernel, x
+
+
+def _cholesky_gram_impl(kernel, x, noise_diag, block):
+    """Left-looking sweep whose panels are BUILT, not read: panel k is
+    ``k(x[kB:], x[kB:(k+1)B]) + diag-noise block``, so the N×N gram matrix
+    never exists in HBM (peak memory = L + one panel, vs 2·N² for
+    build-then-factorize). Total gram FLOPs are unchanged — they just run
+    panel-by-panel ahead of each TRSM."""
+    kernel, x = _peel_transforms(kernel, x)
+    n = x.shape[0]
+    pad = (-n) % block
+    npad = n + pad
+    if pad:
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        noise_diag = jnp.pad(noise_diag, (0, pad))
+    nb = npad // block
+
+    L = jnp.zeros((npad, npad), jnp.float32)
+    for k in range(nb):
+        r0 = k * block
+        xb = x[r0:r0 + block]
+        P = kernel.cross(x[r0:], xb).astype(jnp.float32)  # (npad-r0, B)
+        rows = r0 + jnp.arange(npad - r0, dtype=jnp.int32)[:, None]
+        cols = r0 + jnp.arange(block, dtype=jnp.int32)[None, :]
+        on_diag = rows == cols
+        P = P + jnp.where(on_diag, noise_diag[r0:, None], 0.0)
+        if pad:
+            # padded rows/cols → identity block (log 1 = 0, zero fill-in)
+            is_pad = (rows >= n) | (cols >= n)
+            P = jnp.where(is_pad, jnp.where(on_diag, 1.0, 0.0), P)
+        if k:
+            P = P - _mm(L[r0:, :r0], L[r0:r0 + block, :r0].T)
+        Lkk = _chol_block(P[:block], interpret=_INTERPRET)
+        if r0 + block < npad:
+            L21 = _mm(P[block:], _inv_lower(Lkk).T)
+            col = jnp.concatenate([Lkk, L21], axis=0)
+        else:
+            col = Lkk
+        L = L.at[r0:, r0:r0 + block].set(col)
+    return L[:n, :n] if pad else L
+
+
+def _build_gram(kernel, x, noise_diag):
+    """The XLA-visible definition whose VJP backs ``cholesky_gram``."""
+    K = kernel.gram(x)
+    return K + jnp.diag(noise_diag.astype(K.dtype))
+
+
+@jax.custom_vjp
+def cholesky_gram(kernel, x, noise_diag):
+    """``chol(K(x, x) + diag(noise_diag))`` without materialising K.
+
+    Semantics of ``cholesky(_symmetric(cov(fx)))``
+    (src/finite_gp_projection.jl:308) for a kernel-based prior with
+    diagonal-structured noise. Reverse-mode differentiable via the Cholesky
+    pullback (Murray 2016) chained into the gram builder's VJP; forward
+    mode is unsupported (as for the Pallas gram kernel itself).
+    """
+    return _cholesky_gram_impl(kernel, x, noise_diag, _BLOCK)
+
+
+def _cholesky_gram_fwd(kernel, x, noise_diag):
+    L = cholesky_gram(kernel, x, noise_diag)
+    return L, (kernel, x, noise_diag, L)
+
+
+def _cholesky_gram_bwd(res, Lbar):
+    kernel, x, noise_diag, L = res
+    Lbar = jnp.tril(Lbar)
+    # Ā = L⁻ᵀ Φ(Lᵀ L̄) L⁻¹,  Φ = strict lower + ½·diag  (Murray 2016)
+    M = _mm(L.T, Lbar)
+    P = jnp.tril(M, -1) + 0.5 * jnp.diag(jnp.diagonal(M))
+    Y = lax.linalg.triangular_solve(L, P, left_side=True, lower=True,
+                                    transpose_a=True)
+    Abar = lax.linalg.triangular_solve(L, Y.T, left_side=True, lower=True,
+                                       transpose_a=True).T
+    Abar = 0.5 * (Abar + Abar.T)  # builder output is symmetric
+    _, vjp = jax.vjp(_build_gram, kernel, x, noise_diag)
+    return vjp(Abar)
+
+
+cholesky_gram.defvjp(_cholesky_gram_fwd, _cholesky_gram_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Blocked TRSM: solve L X = B with diagonal-block inverses + GEMMs.
 # ---------------------------------------------------------------------------
 

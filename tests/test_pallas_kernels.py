@@ -111,6 +111,89 @@ def test_non_psd_propagates_nan(rng):
 
 
 # ---------------------------------------------------------------------------
+# fused gram → Cholesky (K never materialised)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n", [96, 150])  # 150 exercises pad-to-block
+def test_cholesky_gram_matches_build_then_factor(rng, n, monkeypatch):
+    import abstractgps_tpu as agp
+
+    monkeypatch.setattr(pallas_chol, "_BLOCK", 32)
+    x = jnp.asarray(rng.uniform(size=(n, 2)), dtype=jnp.float32)
+    nd = jnp.asarray(rng.uniform(0.1, 0.5, size=(n,)), dtype=jnp.float32)
+    k = jnp.float32(1.4) * agp.with_lengthscale(
+        agp.Matern52Kernel(), jnp.float32(0.7)
+    )
+    L = pallas_chol.cholesky_gram(k, x, nd)
+    K = agp.kernelmatrix(k, x) + jnp.diag(nd)
+    L_ref = jax.lax.linalg.cholesky(K)
+    np.testing.assert_allclose(np.asarray(L), np.asarray(L_ref),
+                               atol=2e-5, rtol=2e-5)
+    assert np.allclose(np.triu(np.asarray(L), 1), 0.0)
+
+
+def test_cholesky_gram_grad_matches_unfused(rng, monkeypatch):
+    import abstractgps_tpu as agp
+
+    monkeypatch.setattr(pallas_chol, "_BLOCK", 32)
+    n = 80
+    x = jnp.asarray(rng.uniform(size=(n, 2)), dtype=jnp.float32)
+    y = jnp.asarray(rng.normal(size=(n,)), dtype=jnp.float32)
+
+    def logpdf_terms(L):
+        z = jax.lax.linalg.triangular_solve(
+            L, y[:, None], left_side=True, lower=True
+        )[:, 0]
+        return -(jnp.sum(jnp.log(jnp.diagonal(L))) + 0.5 * jnp.dot(z, z))
+
+    def fused(params):
+        k = params["s2"] * agp.with_lengthscale(agp.SEKernel(), params["ell"])
+        return logpdf_terms(pallas_chol.cholesky_gram(k, x, params["nd"]))
+
+    def unfused(params):
+        k = params["s2"] * agp.with_lengthscale(agp.SEKernel(), params["ell"])
+        K = agp.kernelmatrix(k, x) + jnp.diag(params["nd"])
+        return logpdf_terms(jax.lax.linalg.cholesky(K))
+
+    params = {
+        "s2": jnp.float32(1.2),
+        "ell": jnp.float32(0.6),
+        "nd": jnp.asarray(rng.uniform(0.1, 0.3, size=(n,)), jnp.float32),
+    }
+    v_f, g_f = jax.value_and_grad(fused)(params)
+    v_u, g_u = jax.value_and_grad(unfused)(params)
+    np.testing.assert_allclose(float(v_f), float(v_u), rtol=1e-5)
+    for key_ in params:
+        np.testing.assert_allclose(
+            np.asarray(g_f[key_]), np.asarray(g_u[key_]), rtol=2e-3, atol=2e-4
+        )
+
+
+def test_finite_gp_routes_through_fused_path(rng, monkeypatch):
+    import abstractgps_tpu as agp
+
+    monkeypatch.setattr(pallas_chol, "_MIN_N", 32)
+    monkeypatch.setattr(pallas_chol, "_BLOCK", 32)
+    n = 70
+    x = jnp.asarray(rng.uniform(size=(n, 1)), dtype=jnp.float32)
+    y = jnp.asarray(rng.normal(size=(n,)), dtype=jnp.float32)
+    fx = agp.GP(agp.Matern32Kernel())(x, jnp.float32(0.1))
+    assert pallas_chol.should_use_fused_gram(fx.x, fx.noise.diag())
+    got = float(fx.logpdf(y))
+    # reference value through the unfused formulation
+    K = agp.kernelmatrix(agp.Matern32Kernel(), x) + jnp.float32(0.1) * jnp.eye(
+        n, dtype=jnp.float32
+    )
+    L = jax.lax.linalg.cholesky(K)
+    z = jax.lax.linalg.triangular_solve(L, y[:, None], left_side=True,
+                                        lower=True)[:, 0]
+    want = -0.5 * (n * np.log(2 * np.pi) + 2 * float(jnp.sum(jnp.log(jnp.diagonal(L))))
+                   + float(z @ z))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
 # blocked TRSM
 # ---------------------------------------------------------------------------
 
