@@ -17,7 +17,15 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["Normal", "Poisson", "Bernoulli", "Exponential", "Gamma", "LogNormal"]
+__all__ = [
+    "Normal",
+    "MvNormal",
+    "Poisson",
+    "Bernoulli",
+    "Exponential",
+    "Gamma",
+    "LogNormal",
+]
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
@@ -40,6 +48,43 @@ class Normal:
     def sample(self, key):
         shape = jnp.broadcast_shapes(jnp.shape(self.loc), jnp.shape(self.scale))
         return self.loc + self.scale * jax.random.normal(key, shape)
+
+
+@_pytree
+@dataclasses.dataclass(frozen=True)
+class MvNormal:
+    """Multivariate normal over a Cholesky factor.
+
+    ``FiniteGP.to_mvnormal()`` is the analogue of the reference's
+    ``convert(MvNormal, fx)`` (src/finite_gp_projection.jl:24-28): a plain
+    distribution object decoupled from the GP that produced it.
+    """
+
+    loc: jax.Array        # (N,)
+    scale_tril: jax.Array  # (N, N) lower Cholesky of the covariance
+
+    def logpdf(self, y):
+        """Log density of a vector y, or of each column of a matrix Y —
+        the same contract as ``FiniteGP.logpdf``."""
+        from jax import lax
+
+        n = self.loc.shape[0]
+        vec = y.ndim == 1
+        D = (y - self.loc)[:, None] if vec else y - self.loc[:, None]
+        z = lax.linalg.triangular_solve(
+            self.scale_tril, D, left_side=True, lower=True
+        )
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(self.scale_tril)))
+        quad = jnp.sum(jnp.square(z), axis=0)
+        out = -0.5 * (n * _LOG_2PI + logdet + quad)
+        return out[0] if vec else out
+
+    def sample(self, key, num_samples: int | None = None):
+        n = self.loc.shape[0]
+        cols = 1 if num_samples is None else num_samples
+        xi = jax.random.normal(key, (n, cols), dtype=self.loc.dtype)
+        out = self.loc[:, None] + self.scale_tril @ xi
+        return out[:, 0] if num_samples is None else out
 
 
 @_pytree

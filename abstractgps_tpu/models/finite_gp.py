@@ -97,6 +97,24 @@ class FiniteGP:
 
     # -- internals ----------------------------------------------------------
 
+    def _fused_gram_args(self):
+        """The single gate for the TPU fused gram→Cholesky paths.
+
+        Returns ``(kernel, nd)`` when this projection qualifies (kernel-based
+        GP prior, diagonal-structured noise, TPU + f32 + large N), else None.
+        Both ``_chol`` and ``logpdf`` route through this so the policy cannot
+        drift between them.
+        """
+        from ..ops import pallas_chol
+        from ..ops.noise import DenseNoise
+        from .gp import GP
+
+        if isinstance(self.f, GP) and not isinstance(self.noise, DenseNoise):
+            nd = self.noise.diag().astype(self.x.dtype)
+            if pallas_chol.should_use_fused_gram(self.x, nd):
+                return self.f.kernel, nd
+        return None
+
     @precise
     def _chol(self):
         """(mean, chol(cov)) — the O(N³) hot spot.
@@ -107,14 +125,12 @@ class FiniteGP:
         panel-by-panel inside the factorization and never written to HBM.
         """
         from ..ops import pallas_chol
-        from ..ops.noise import DenseNoise
-        from .gp import GP
 
-        if isinstance(self.f, GP) and not isinstance(self.noise, DenseNoise):
-            nd = self.noise.diag().astype(self.x.dtype)
-            if pallas_chol.should_use_fused_gram(self.x, nd):
-                m = self.f.mean(self.x)
-                return m, pallas_chol.cholesky_gram(self.f.kernel, self.x, nd)
+        fused = self._fused_gram_args()
+        if fused is not None:
+            kernel, nd = fused
+            m = self.f.mean(self.x)
+            return m, pallas_chol.cholesky_gram(kernel, self.x, nd)
         m, C = self.mean_and_cov()
         return m, covmat.cholesky_lower(C)
 
@@ -137,7 +153,22 @@ class FiniteGP:
     @precise
     def logpdf(self, y: jax.Array) -> jax.Array:
         """Log density of a vector y, or of each column of a matrix Y
-        (src/finite_gp_projection.jl:306-311)."""
+        (src/finite_gp_projection.jl:306-311).
+
+        On the TPU fused path this is a single custom-VJP op
+        (ops/pallas_chol.gram_logpdf_core): forward = gram→Cholesky sweep
+        with K never hitting HBM; backward = the closed-form
+        ``∂logpdf/∂K = ½(ααᵀ − K⁻¹)`` instead of the generic Cholesky
+        pullback — the hot rule under hyperparameter MCMC/MLE (§3.5).
+        """
+        from ..ops import pallas_chol
+
+        fused = self._fused_gram_args()
+        if fused is not None:
+            kernel, nd = fused
+            m = self.f.mean(self.x)
+            delta = y - (m if y.ndim == 1 else m[:, None])
+            return pallas_chol.gram_logpdf_core(kernel, self.x, nd, delta)
         m, L = self._chol()
         n = y.shape[0]
         quad = _sqmahal(m, L, y)
@@ -175,6 +206,15 @@ class FiniteGP:
     def params(self):
         """(f, x, Σy) (src/finite_gp_projection.jl:339)."""
         return self.f, self.x, self.noise
+
+    @precise
+    def to_mvnormal(self):
+        """Decouple into a plain MvNormal distribution — the reference's
+        ``convert(MvNormal, fx)`` (src/finite_gp_projection.jl:24-28)."""
+        from ..distributions import MvNormal
+
+        m, L = self._chol()
+        return MvNormal(m, L)
 
     # -- inference ----------------------------------------------------------
 

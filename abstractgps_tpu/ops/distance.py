@@ -55,6 +55,21 @@ def sq_norms(x: jax.Array) -> jax.Array:
     return jnp.sum(jnp.square(x), axis=-1)
 
 
+def _dist_precision():
+    """MXU precision for the distance matmul: library policy floored at
+    HIGH (bf16x3), independent of the ambient context.
+
+    The ``‖x‖² + ‖z‖² − 2·x·zᵀ`` expansion is cancellation-prone: one
+    single-pass bf16 matmul (TPU DEFAULT) gives ~1e-2 absolute gram error,
+    which silently corrupts Cholesky pivots (observed: NaN factor at N=8192
+    when small panels fell back to this path outside a ``@precise`` context,
+    while large panels used the HIGHEST-pinned Pallas tiles).
+    """
+    from .precision import floored_precision
+
+    return floored_precision()
+
+
 def pairwise_sqdist(x: jax.Array, z: jax.Array | None = None) -> jax.Array:
     """Pairwise squared Euclidean distances between rows of x and z.
 
@@ -62,15 +77,20 @@ def pairwise_sqdist(x: jax.Array, z: jax.Array | None = None) -> jax.Array:
     For the symmetric case (z is None) the diagonal is exactly zero.
     """
     x = as_inputs(x)
+    prec = _dist_precision() if x.dtype == jnp.float32 else None
     if z is None:
-        g = x @ x.T
+        g = jnp.matmul(x, x.T, precision=prec)
         nx = jnp.diagonal(g)
         d2 = nx[:, None] + nx[None, :] - 2.0 * g
         d2 = jnp.maximum(d2, 0.0)
         n = x.shape[0]
         return d2 * (1.0 - jnp.eye(n, dtype=d2.dtype))
     z = as_inputs(z)
-    d2 = sq_norms(x)[:, None] + sq_norms(z)[None, :] - 2.0 * (x @ z.T)
+    d2 = (
+        sq_norms(x)[:, None]
+        + sq_norms(z)[None, :]
+        - 2.0 * jnp.matmul(x, z.T, precision=prec)
+    )
     return jnp.maximum(d2, 0.0)
 
 

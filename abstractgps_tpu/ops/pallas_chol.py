@@ -32,6 +32,7 @@ strategy to large triangular solves (reference ``U' \\ B`` sites).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -129,13 +130,9 @@ def _mm(a, b):
     here: ~8e-3 relative gram error destroys factorization stability, so a
     "default" policy still runs the factorization at HIGH.
     """
-    from .precision import get_matmul_precision
+    from .precision import floored_precision
 
-    prec = (
-        lax.Precision.HIGHEST
-        if get_matmul_precision() == "highest"
-        else lax.Precision.HIGH
-    )
+    prec = floored_precision()
     return jnp.matmul(a, b, precision=prec if a.dtype == jnp.float32 else None)
 
 
@@ -321,6 +318,106 @@ def _cholesky_gram_bwd(res, Lbar):
 
 
 cholesky_gram.defvjp(_cholesky_gram_fwd, _cholesky_gram_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused gram → Cholesky → logpdf core with the logpdf-specific pullback.
+# ---------------------------------------------------------------------------
+
+
+def _inv_lower_blocked(L: jax.Array, block: int) -> jax.Array:
+    """``W = L⁻¹`` (lower triangular) by row-panel forward substitution.
+
+    One fat GEMM per panel: ``W[i] = L_ii⁻¹ (E_i − L[i, :iB] W[:iB, :iB])``,
+    where the product is restricted to W's nonzero columns — ~2N³/3 FLOPs
+    (the dense-RHS TRSM would be N³) and nb GEMMs total (compile-friendly).
+    Assumes N divisible by ``block`` (callers pad).
+    """
+    n = L.shape[-1]
+    nb = n // block
+    W = jnp.zeros((n, n), L.dtype)
+    for i in range(nb):
+        r0 = i * block
+        Lii_inv = _inv_lower(L[r0:r0 + block, r0:r0 + block])
+        if i == 0:
+            Wi = Lii_inv
+            W = W.at[:block, :block].set(Wi)
+            continue
+        rhs = -_mm(L[r0:r0 + block, :r0], W[:r0, :r0])  # (B, r0)
+        Wi = jnp.concatenate([_mm(Lii_inv, rhs), Lii_inv], axis=1)  # (B, r0+B)
+        W = W.at[r0:r0 + block, :r0 + block].set(Wi)
+    return W
+
+
+@jax.custom_vjp
+def gram_logpdf_core(kernel, x, noise_diag, delta):
+    """``-0.5 (n log2π + logdet(K+Σ) + δᵀ(K+Σ)⁻¹δ)`` per column of δ,
+    without materialising K (forward = ``cholesky_gram`` sweep + one
+    triangular solve).
+
+    The backward pass uses the logpdf-specific identity
+    ``∂logpdf/∂K = ½(α αᵀ − K⁻¹)``, α = K⁻¹δ — one blocked triangular
+    inverse + one GEMM — instead of the generic Cholesky pullback
+    (which needs a 2N³ matmul plus two full-RHS TRSMs). This is the hot
+    rule under hyperparameter MCMC/MLE (reference call stack §3.5:
+    ∇θ logpdf per leapfrog step).
+
+    ``delta`` is (n,) or (n, q); returns a scalar or (q,).
+    """
+    L = cholesky_gram(kernel, x, noise_diag)
+    return _logpdf_from_chol(L, delta)
+
+
+def _logpdf_from_chol(L, delta):
+    out, _ = _logpdf_and_z_from_chol(L, delta)
+    return out
+
+
+def _logpdf_and_z_from_chol(L, delta):
+    n = L.shape[0]
+    vec = delta.ndim == 1
+    D = delta[:, None] if vec else delta
+    z = lax.linalg.triangular_solve(L, D, left_side=True, lower=True)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    quad = jnp.sum(jnp.square(z), axis=0)
+    out = -0.5 * (n * math.log(2.0 * math.pi) + logdet + quad)
+    return (out[0] if vec else out), z
+
+
+def _gram_logpdf_fwd(kernel, x, noise_diag, delta):
+    L = cholesky_gram(kernel, x, noise_diag)
+    out, z = _logpdf_and_z_from_chol(L, delta)
+    vec = delta.ndim == 1
+    alpha = lax.linalg.triangular_solve(
+        L, z, left_side=True, lower=True, transpose_a=True
+    )  # (n, q) = (K+Σ)⁻¹ δ
+    return out, (kernel, x, noise_diag, L, alpha, vec)
+
+
+def _gram_logpdf_bwd(res, gbar):
+    kernel, x, noise_diag, L, alpha, vec = res
+    g = jnp.reshape(gbar, (1,)) if vec else gbar  # (q,)
+    n = L.shape[0]
+    pad = (-n) % _BLOCK
+    Lp = L
+    if pad:
+        Lp = jnp.pad(L, ((0, pad), (0, pad))) + jnp.diag(jnp.concatenate(
+            [jnp.zeros((n,), L.dtype), jnp.ones((pad,), L.dtype)]
+        ))
+    W = _inv_lower_blocked(Lp, _BLOCK)[:n, :n]
+    Kinv = _mm(W.T, W)
+    gsum = jnp.sum(g)
+    # Ā = ½ Σ_j ḡ_j α_j α_jᵀ − ½ (Σ ḡ) K⁻¹
+    Abar = 0.5 * (_mm(alpha * g[None, :], alpha.T) - gsum * Kinv)
+    _, vjp = jax.vjp(_build_gram, kernel, x, noise_diag)
+    kbar, xbar, ndbar = vjp(Abar)
+    # ∂/∂δ_j = −ḡ_j α_j
+    dbar = -(alpha * g[None, :])
+    dbar = dbar[:, 0] if vec else dbar
+    return kbar, xbar, ndbar, dbar
+
+
+gram_logpdf_core.defvjp(_gram_logpdf_fwd, _gram_logpdf_bwd)
 
 
 # ---------------------------------------------------------------------------

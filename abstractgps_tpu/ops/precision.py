@@ -9,8 +9,11 @@ parts"); our TPU-native answer is the bf16x3 ("high") precision mode —
 f32-equivalent accuracy at ~MXU speed — applied to every accuracy-critical
 op via the ``@precise`` decorator.
 
-``set_matmul_precision`` lets users trade accuracy for speed globally
-("default" ≈ 2× faster gram build, unsafe for ill-conditioned posteriors).
+``set_matmul_precision`` lets users trade accuracy for speed globally.
+Note: the cancellation-prone primitives (pairwise distances, Cholesky
+panel GEMMs) floor themselves at "high" even under the "default" policy —
+single-pass bf16 there does not just lose accuracy, it corrupts pivots
+(NaN factors); "default" only relaxes the remaining matmuls.
 """
 
 from __future__ import annotations
@@ -21,7 +24,23 @@ import jax
 
 _PRECISION = "high"
 
-__all__ = ["precise", "set_matmul_precision", "get_matmul_precision"]
+__all__ = [
+    "precise",
+    "set_matmul_precision",
+    "get_matmul_precision",
+    "floored_precision",
+]
+
+
+def floored_precision():
+    """`lax.Precision` for accuracy-critical matmuls: the library policy
+    floored at HIGH (bf16x3). Single source of the mapping used by the
+    distance expansion and the Cholesky panel GEMMs."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if _PRECISION == "highest"
+        else jax.lax.Precision.HIGH
+    )
 
 
 def set_matmul_precision(precision: str) -> None:

@@ -159,3 +159,20 @@ def test_cross_cov(rng):
     f = agp.GP(agp.Matern32Kernel())
     expected = agp.kernelmatrix(agp.Matern32Kernel(), x1, x2)
     assert np.allclose(f(x1).cov(f(x2)), expected, atol=1e-12)
+
+
+def test_to_mvnormal(rng):
+    # convert(MvNormal, fx) parity (src/finite_gp_projection.jl:24-28)
+    x = jnp.asarray(rng.standard_normal(9))
+    y = jnp.asarray(rng.standard_normal(9))
+    fx = agp.GP(0.3, agp.Matern52Kernel())(x, 0.2)
+    mvn = fx.to_mvnormal()
+    assert np.allclose(float(mvn.logpdf(y)), float(fx.logpdf(y)), rtol=1e-10)
+    Y = jnp.asarray(rng.standard_normal((9, 4)))
+    assert np.allclose(
+        np.asarray(mvn.logpdf(Y)), np.asarray(fx.logpdf(Y)), rtol=1e-10
+    )
+    s = mvn.sample(jax.random.PRNGKey(0))
+    assert s.shape == (9,)
+    S = mvn.sample(jax.random.PRNGKey(0), 4)
+    assert S.shape == (9, 4)

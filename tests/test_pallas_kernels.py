@@ -170,6 +170,74 @@ def test_cholesky_gram_grad_matches_unfused(rng, monkeypatch):
         )
 
 
+def test_gram_logpdf_core_value_and_grad(rng, monkeypatch):
+    # fused gram→chol→logpdf op with the closed-form ∂logpdf/∂K pullback:
+    # value + grads (kernel params, noise, y) vs the dense formulation
+    import abstractgps_tpu as agp
+
+    monkeypatch.setattr(pallas_chol, "_MIN_N", 32)
+    monkeypatch.setattr(pallas_chol, "_BLOCK", 32)
+    n = 70
+    x = jnp.asarray(rng.uniform(size=(n, 2)), dtype=jnp.float32)
+    y = jnp.asarray(rng.normal(size=(n,)), dtype=jnp.float32)
+
+    def make_k(p):
+        return p["s2"] * agp.with_lengthscale(agp.SEKernel(), p["ell"])
+
+    def fused(p, yv):
+        return pallas_chol.gram_logpdf_core(make_k(p), x, p["nd"], yv)
+
+    def dense(p, yv):
+        K = agp.kernelmatrix(make_k(p), x) + jnp.diag(p["nd"])
+        L = jax.lax.linalg.cholesky(K)
+        z = jax.lax.linalg.triangular_solve(
+            L, yv[:, None], left_side=True, lower=True
+        )[:, 0]
+        return -0.5 * (
+            n * np.log(2 * np.pi)
+            + 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+            + z @ z
+        )
+
+    p = {
+        "s2": jnp.float32(1.3),
+        "ell": jnp.float32(0.7),
+        "nd": jnp.asarray(rng.uniform(0.1, 0.3, size=(n,)), jnp.float32),
+    }
+    v_f, g_f = jax.value_and_grad(fused, argnums=(0, 1))(p, y)
+    v_d, g_d = jax.value_and_grad(dense, argnums=(0, 1))(p, y)
+    np.testing.assert_allclose(float(v_f), float(v_d), rtol=1e-5)
+    for key_ in p:
+        np.testing.assert_allclose(
+            np.asarray(g_f[0][key_]), np.asarray(g_d[0][key_]),
+            rtol=2e-3, atol=2e-4,
+        )
+    np.testing.assert_allclose(
+        np.asarray(g_f[1]), np.asarray(g_d[1]), rtol=2e-3, atol=2e-4
+    )
+
+    # matrix-Y path: per-column densities and grads through a weighted sum
+    Y = jnp.asarray(rng.normal(size=(n, 3)), dtype=jnp.float32)
+    w = jnp.asarray([0.5, -1.0, 2.0], dtype=jnp.float32)
+    vals = pallas_chol.gram_logpdf_core(make_k(p), x, p["nd"], Y)
+    assert vals.shape == (3,)
+    for j in range(3):
+        np.testing.assert_allclose(
+            float(vals[j]), float(dense(p, Y[:, j])), rtol=1e-5
+        )
+    g_mat = jax.grad(
+        lambda pp: jnp.dot(w, pallas_chol.gram_logpdf_core(make_k(pp), x, pp["nd"], Y))
+    )(p)
+    g_ref = jax.grad(
+        lambda pp: sum(w[j] * dense(pp, Y[:, j]) for j in range(3))
+    )(p)
+    for key_ in p:
+        np.testing.assert_allclose(
+            np.asarray(g_mat[key_]), np.asarray(g_ref[key_]),
+            rtol=2e-3, atol=2e-4,
+        )
+
+
 def test_finite_gp_routes_through_fused_path(rng, monkeypatch):
     import abstractgps_tpu as agp
 
