@@ -46,6 +46,8 @@ from .models.svgp import (
     SVGP,
     SVGPPosterior,
     fit_svgp,
+    fit_svgp_natgrad,
+    natgrad_step,
     svgp_elbo,
     svgp_elbo_quadrature,
     svgp_init,

@@ -54,6 +54,8 @@ __all__ = [
     "set_variational",
     "gauss_hermite_expectation",
     "fit_svgp",
+    "natgrad_step",
+    "fit_svgp_natgrad",
 ]
 
 _LOG_2PI = math.log(2.0 * math.pi)
@@ -293,6 +295,175 @@ def optimal_variational_params(svgp: SVGP, x, y: jax.Array, noise):
     m = S @ (A @ yt)
     C = covmat.cholesky_lower(covmat.symmetrize(S))
     return m, C
+
+
+# ---------------------------------------------------------------------------
+# Natural gradients on the variational distribution
+# ---------------------------------------------------------------------------
+
+
+def _elbo_mS(svgp: SVGP, m, S, x, y, noise, n_total, log_lik, num_points):
+    """The ELBO as an explicit function of the whitened moments (m, S) —
+    the parameterization the natural-gradient step differentiates. Mirrors
+    ``svgp_elbo``/``svgp_elbo_quadrature`` exactly (S enters only through
+    ``diag(Aᵀ S A)``, ``tr S`` and ``logdet S``)."""
+    x = as_inputs(x)
+    B = x.shape[0]
+    Lz = svgp._Lz()
+    A = svgp._A(Lz, x)
+    mu = mean_vector(svgp.mean_fn, x) + A.T @ m
+    var_f = jnp.maximum(
+        svgp.kernel.diag(x)
+        - jnp.sum(jnp.square(A), axis=0)
+        + jnp.sum(A * (S @ A), axis=0),
+        0.0,
+    )
+    if log_lik is None:
+        sig2 = as_noise(noise, B).diag()
+        ell = (
+            -0.5 * (jnp.log(2.0 * jnp.pi * sig2) + jnp.square(y - mu) / sig2)
+            - var_f / (2.0 * sig2)
+        )
+    else:
+        ell = gauss_hermite_expectation(log_lik, mu, var_f, y, num_points)
+    Mi = m.shape[0]
+    L_S = covmat.cholesky_lower(covmat.symmetrize(S))
+    kl = 0.5 * (
+        jnp.trace(S)
+        + jnp.dot(m, m)
+        - Mi
+        - 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_S)))
+    )
+    scale = 1.0 if n_total is None else n_total / B
+    return scale * jnp.sum(ell) - kl
+
+
+@precise
+def natgrad_step(
+    svgp: SVGP,
+    x,
+    y: jax.Array,
+    noise=None,
+    *,
+    lr: float = 0.1,
+    n_total: int | None = None,
+    log_lik=None,
+    num_points: int = 20,
+) -> SVGP:
+    """One natural-gradient ascent step on the variational distribution.
+
+    Natural gradients (Amari; Salimbeni et al. 2018 for SVGP) follow the
+    ELBO's gradient in the exponential-family natural parameters
+    ``θ₁ = S⁻¹m, θ₂ = −½S⁻¹``, which equals the ordinary gradient taken
+    with respect to the expectation parameters ``ξ₁ = m, ξ₂ = S + mmᵀ``:
+
+        dL/dξ₁ = dL/dm − 2 (dL/dS) m,   dL/dξ₂ = dL/dS
+        θ ← θ + lr · dL/dξ ;  recover  S = −½ θ₂⁻¹,  m = S θ₁
+
+    For Gaussian likelihood on the full batch the ELBO is quadratic in ξ,
+    so ``lr=1`` jumps to the exact optimum in ONE step (the closed form of
+    ``optimal_variational_params``) — the oracle test. In general use
+    lr≈0.01–0.1 alternated with Adam on hyperparameters/inducing points;
+    convergence is typically far faster than Adam on ``C_raw``. All the
+    extra linear algebra is M×M (chol + solves) — MXU-bound.
+    """
+    m0, C0 = svgp.m, svgp.C
+    S0 = covmat.symmetrize(C0 @ C0.T)
+    dt = m0.dtype
+
+    gm, gS = jax.grad(
+        lambda m, S: _elbo_mS(svgp, m, S, x, y, noise, n_total, log_lik, num_points),
+        argnums=(0, 1),
+    )(m0, S0)
+    gS = covmat.symmetrize(gS)
+
+    dxi1 = gm - 2.0 * gS @ m0
+    dxi2 = gS
+
+    eye = jnp.eye(m0.shape[0], dtype=dt)
+    theta1 = covmat.chol_solve(C0, m0)          # S⁻¹ m
+    inv_S = covmat.chol_solve(C0, eye)
+    theta2 = -0.5 * inv_S
+
+    theta1 = theta1 + lr * dxi1
+    theta2 = theta2 + lr * dxi2
+
+    # recover moments; P = −2θ₂ must stay SPD (guaranteed at small lr, and
+    # exactly for lr<=1 with Gaussian likelihood); a failed chol surfaces as
+    # NaN — the library-wide failure policy (SURVEY §5)
+    P = covmat.symmetrize(-2.0 * theta2)
+    L_P = covmat.cholesky_lower(P)
+    S_new = covmat.chol_solve(L_P, eye)
+    m_new = covmat.chol_solve(L_P, theta1)
+    C_new = covmat.cholesky_lower(covmat.symmetrize(S_new))
+    return set_variational(svgp, m_new, C_new)
+
+
+def fit_svgp_natgrad(
+    key: jax.Array,
+    svgp: SVGP,
+    x,
+    y: jax.Array,
+    noise=None,
+    *,
+    batch_size: int,
+    steps: int,
+    natgrad_lr: float = 0.1,
+    hyper_lr: float = 1e-2,
+    log_lik=None,
+    num_points: int = 20,
+    train_inducing: bool = True,
+):
+    """Alternating trainer: natural-gradient step on (m, C), Adam step on
+    the inducing locations — the standard fast SVGP recipe. Whole loop is
+    one jitted ``lax.scan``; returns ``(fitted_svgp, elbo_trace)``.
+
+    Kernel/mean hyperparameters are frozen for the same sign-safety reason
+    as ``fit_svgp``; wrap in a constrained parameter pytree for joint MLE.
+    """
+    import optax
+    from jax import lax
+
+    x = as_inputs(x)
+    n = x.shape[0]
+    opt = optax.adam(hyper_lr)
+    jitter0, z0 = svgp.jitter, svgp.z
+
+    def hyper_loss(sv, xb, yb):
+        if log_lik is None:
+            return -svgp_elbo(sv, xb, yb, noise, n_total=n)
+        return -svgp_elbo_quadrature(
+            sv, xb, yb, log_lik, n_total=n, num_points=num_points
+        )
+
+    def step(carry, k):
+        sv, opt_state = carry
+        idx = jax.random.randint(k, (batch_size,), 0, n)
+        xb, yb = x[idx], y[idx]
+        sv = natgrad_step(
+            sv, xb, yb, noise,
+            lr=natgrad_lr, n_total=n, log_lik=log_lik, num_points=num_points,
+        )
+        l, g = jax.value_and_grad(hyper_loss)(sv, xb, yb)
+        updates, opt_state = opt.update(g, opt_state)
+        new = optax.apply_updates(sv, updates)
+        new = dataclasses.replace(
+            new,
+            jitter=jitter0,
+            z=new.z if train_inducing else z0,
+            kernel=sv.kernel,
+            mean_fn=sv.mean_fn,
+            m=sv.m,
+            C_raw=sv.C_raw,  # variational params owned by the natgrad step
+        )
+        return (new, opt_state), -l
+
+    @jax.jit
+    def run(sv, keys):
+        (sv, _), trace = lax.scan(step, (sv, opt.init(sv)), keys)
+        return sv, trace
+
+    return run(svgp, jax.random.split(key, steps))
 
 
 # ---------------------------------------------------------------------------

@@ -76,7 +76,8 @@ def main():
         )
 
     # ---- ours: K_EVALS logpdfs per dispatch --------------------------------
-    float(ours_batched(x, y, thetas))  # compile + warmup
+    warm = float(ours_batched(x, y, thetas))  # compile + warmup
+    assert np.isfinite(warm), f"non-finite logpdf sum from production path: {warm}"
     t_ours = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()

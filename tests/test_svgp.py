@@ -177,3 +177,67 @@ def test_svgp_float32_stability(setup):
     sv = svgp_init(kern32, z32)
     val = svgp_elbo(sv, x32, y32, jnp.float32(0.2))
     assert val.dtype == jnp.float32 and np.isfinite(float(val))
+
+
+def test_natgrad_step_lr1_lands_on_optimum(setup):
+    # Gaussian likelihood + full batch: the ELBO is quadratic in the
+    # expectation parameters, so ONE natural-gradient step with lr=1 from
+    # ANY start equals the closed-form optimal variational parameters
+    # (Salimbeni et al. 2018).
+    from abstractgps_tpu.models.svgp import natgrad_step
+
+    x, z, y, kern = setup
+    sv = svgp_init(kern, z)
+    # start far from the optimum
+    key = jax.random.PRNGKey(3)
+    m0 = 2.0 * jax.random.normal(key, sv.m.shape, sv.m.dtype)
+    sv = set_variational(sv, m0, 0.3 * jnp.eye(sv.num_inducing, dtype=sv.m.dtype))
+
+    stepped = natgrad_step(sv, x, y, 0.1, lr=1.0)
+    m_star, C_star = optimal_variational_params(sv, x, y, 0.1)
+    S_star = C_star @ C_star.T
+    S_step = stepped.C @ stepped.C.T
+    np.testing.assert_allclose(np.asarray(stepped.m), np.asarray(m_star),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(S_step), np.asarray(S_star),
+                               rtol=1e-8, atol=1e-8)
+    # ELBO at the stepped point == collapsed VFE bound
+    got = float(svgp_elbo(stepped, x, y, 0.1))
+    f = agp.GP(kern)
+    want = float(agp.elbo(agp.VFE(f(z, float(sv.jitter))), f(x, 0.1), y))
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+
+
+def test_natgrad_step_quadrature_improves_elbo(setup, rng):
+    from abstractgps_tpu.models.svgp import natgrad_step
+
+    x, z, _, kern = setup
+    rate = jnp.exp(jnp.asarray(rng.normal(size=(x.shape[0],))) * 0.3)
+    y = jnp.asarray(rng.poisson(np.asarray(rate)), jnp.float64)
+
+    def log_lik(f, yy):
+        return yy * f - jnp.exp(f) - gammaln(yy + 1.0)
+
+    sv = svgp_init(kern, z)
+    e0 = float(svgp_elbo_quadrature(sv, x, y, log_lik))
+    for _ in range(5):
+        sv = natgrad_step(sv, x, y, lr=0.2, log_lik=log_lik)
+    e1 = float(svgp_elbo_quadrature(sv, x, y, log_lik))
+    assert np.isfinite(e1) and e1 > e0
+
+
+def test_fit_svgp_natgrad_jits_and_improves(setup):
+    from abstractgps_tpu.models.svgp import fit_svgp_natgrad
+
+    x, z, y, kern = setup
+    sv = svgp_init(kern, z)
+    e0 = float(svgp_elbo(sv, x, y, 0.1))
+    fitted, trace = fit_svgp_natgrad(
+        jax.random.PRNGKey(0), sv, x, y, 0.1,
+        batch_size=30, steps=40, natgrad_lr=0.5, hyper_lr=5e-3,
+    )
+    e1 = float(svgp_elbo(fitted, x, y, 0.1))
+    assert np.isfinite(e1) and e1 > e0
+    assert trace.shape == (40,)
+    # variational params actually moved
+    assert float(jnp.max(jnp.abs(fitted.m))) > 1e-3
