@@ -53,6 +53,11 @@ from .models.svgp import (
     svgp_init,
     svgp_posterior,
 )
+from .models.markov import (
+    is_markov_kernel,
+    markov_logpdf,
+    markov_mean_and_var,
+)
 from .models import exact_posterior as _exact
 from .models import sparse as _sparse
 from .ops.distance import as_inputs, col_vecs, row_vecs

@@ -1,0 +1,120 @@
+"""Markov (state-space) backend: exactness vs the dense Cholesky path.
+
+The state-space formulation is mathematically identical to the dense GP for
+Matérn kernels in 1-D (Hartikainen & Särkkä 2010), so every test is an
+equality oracle in f64: logpdf and posterior marginals must match the dense
+FiniteGP/PosteriorGP results to ~1e-8, for every supported kernel shape,
+with the parallel (associative-scan) filter agreeing with the sequential
+one.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import abstractgps_tpu as agp
+from abstractgps_tpu.models.markov import (
+    is_markov_kernel,
+    markov_logpdf,
+    markov_mean_and_var,
+    sde_coefficients,
+)
+
+KERNELS = [
+    agp.ExponentialKernel(),
+    agp.Matern32Kernel(),
+    agp.Matern52Kernel(),
+    2.3 * agp.Matern32Kernel(),
+    agp.with_lengthscale(agp.Matern52Kernel(), 0.35),
+    1.7 * agp.with_lengthscale(agp.ExponentialKernel(), 2.0),
+    agp.Matern32Kernel() + 0.5 * agp.with_lengthscale(agp.Matern52Kernel(), 0.6),
+]
+
+
+@pytest.fixture()
+def data(rng):
+    n = 80
+    x = jnp.asarray(np.sort(rng.uniform(0.0, 6.0, size=n)))
+    y = jnp.asarray(rng.normal(size=n))
+    return x, y
+
+
+@pytest.mark.parametrize("kern", KERNELS)
+@pytest.mark.parametrize("parallel", [False, True])
+def test_markov_logpdf_matches_dense(data, kern, parallel):
+    x, y = data
+    fx = agp.GP(kern)(x, 0.1)
+    got = float(markov_logpdf(fx, y, parallel=parallel))
+    want = float(fx.logpdf(y))
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-8)
+
+
+def test_markov_logpdf_unsorted_heteroscedastic_const_mean(rng):
+    n = 64
+    x = jnp.asarray(rng.uniform(0.0, 5.0, size=n))  # deliberately unsorted
+    y = jnp.asarray(rng.normal(size=n))
+    noise = jnp.asarray(rng.uniform(0.05, 0.3, size=n))
+    fx = agp.GP(0.7, agp.Matern32Kernel())(x, noise)
+    for parallel in (False, True):
+        got = float(markov_logpdf(fx, y, parallel=parallel))
+        np.testing.assert_allclose(got, float(fx.logpdf(y)), rtol=1e-8)
+
+
+@pytest.mark.parametrize("parallel", [False, True])
+def test_markov_posterior_marginals_match_dense(data, parallel, rng):
+    x, y = data
+    kern = 1.4 * agp.with_lengthscale(agp.Matern52Kernel(), 0.7)
+    fx = agp.GP(0.3, kern)(x, 0.1)
+    x_test = jnp.asarray(rng.uniform(-0.5, 6.5, size=40))
+    mu, var = markov_mean_and_var(fx, y, x_test, parallel=parallel)
+    post = fx.posterior(y)
+    mu_d, var_d = post.mean_and_var(x_test)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_d),
+                               rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_d),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_markov_gradients_match_dense(data):
+    x, y = data
+
+    def nlml_markov(p):
+        k = p["s2"] * agp.with_lengthscale(agp.Matern32Kernel(), p["ell"])
+        return -markov_logpdf(agp.GP(k)(x, p["noise"]), y)
+
+    def nlml_dense(p):
+        k = p["s2"] * agp.with_lengthscale(agp.Matern32Kernel(), p["ell"])
+        return -agp.GP(k)(x, p["noise"]).logpdf(y)
+
+    p = {"s2": jnp.float64(1.2), "ell": jnp.float64(0.6),
+         "noise": jnp.float64(0.15)}
+    g_m = jax.grad(nlml_markov)(p)
+    g_d = jax.grad(nlml_dense)(p)
+    for k_ in p:
+        np.testing.assert_allclose(float(g_m[k_]), float(g_d[k_]),
+                                   rtol=1e-6, atol=1e-8)
+
+
+def test_markov_jits_and_scales(rng):
+    n = 2000
+    x = jnp.asarray(np.sort(rng.uniform(0, 50.0, size=n)))
+    y = jnp.asarray(rng.normal(size=n))
+    fx = agp.GP(agp.Matern52Kernel())(x, 0.1)
+    ll = jax.jit(lambda y: markov_logpdf(fx, y, parallel=True))(y)
+    assert np.isfinite(float(ll))
+
+
+def test_unsupported_kernels_raise():
+    assert not is_markov_kernel(agp.SqExponentialKernel())
+    assert not is_markov_kernel(agp.Matern32Kernel() * agp.Matern52Kernel())
+    with pytest.raises(TypeError):
+        sde_coefficients(agp.PeriodicKernel())
+    x = jnp.linspace(0, 1, 8)
+    fx = agp.GP(agp.SqExponentialKernel())(x, 0.1)
+    with pytest.raises(TypeError):
+        markov_logpdf(fx, jnp.zeros(8))
+    # 2-D inputs rejected
+    fx2 = agp.GP(agp.Matern32Kernel())(jnp.zeros((8, 2)), 0.1)
+    with pytest.raises(TypeError):
+        markov_logpdf(fx2, jnp.zeros(8))
