@@ -57,6 +57,7 @@ from .models.markov import (
     is_markov_kernel,
     markov_logpdf,
     markov_mean_and_var,
+    markov_rand,
 )
 from .models import exact_posterior as _exact
 from .models import sparse as _sparse

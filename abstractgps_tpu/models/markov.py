@@ -57,6 +57,7 @@ __all__ = [
     "sde_coefficients",
     "markov_logpdf",
     "markov_mean_and_var",
+    "markov_rand",
     "is_markov_kernel",
 ]
 
@@ -367,13 +368,9 @@ def markov_logpdf(fx, y: jax.Array, parallel: bool = False) -> jax.Array:
     return ll
 
 
-def markov_mean_and_var(fx, y: jax.Array, x_test, parallel: bool = False):
-    """Posterior-predictive marginals ``posterior(fx, y)(x_test)`` —
-    latent mean and variance at ``x_test`` — in O((N+M)·p³).
-
-    Runs filter + RTS smoother over the merged train/test timeline with
-    test points carried as unobserved steps.
-    """
+def _merged_timeline(fx, y, x_test):
+    """Sorted union of train/test timepoints with observation mask; returns
+    everything needed to filter, plus the slice info to recover test points."""
     xt = as_inputs(x_test)
     if xt.shape[1] != 1:
         raise TypeError("markov backend requires 1-D inputs")
@@ -388,10 +385,76 @@ def markov_mean_and_var(fx, y: jax.Array, x_test, parallel: bool = False):
     )
     order = jnp.argsort(t_all)
     t_s, y_s, r_s, o_s = t_all[order], y_all[order], r_all[order], obs_all[order]
-
     prior_mean_s = mean_vector(fx.f.mean_fn, t_s[:, None]).astype(dtype)
-    y_s = y_s - prior_mean_s
+    return t_s, y_s - prior_mean_s, r_s, o_s, prior_mean_s, order, ts.shape[0], dtype
 
+
+def markov_rand(
+    fx,
+    y: jax.Array,
+    x_test,
+    key: jax.Array,
+    num_samples: int | None = None,
+    parallel: bool = False,
+):
+    """Joint posterior samples of the latent f at ``x_test`` in O(N+M) —
+    the Markov drop-in for ``posterior(fx, y)(x_test, 0).rand(key[, S])``.
+
+    Forward-filter backward-sample (FFBS): one shared filtering pass over
+    the merged timeline, then a reverse scan drawing
+    ``x_k | x_{k+1} ~ N(m_k + G_k(x_{k+1} − m̂_{k+1}), P_k − G_k P̂_{k+1} G_kᵀ)``
+    with all samples vmapped through the same scan.
+    """
+    t_s, y_s, r_s, o_s, prior_mean_s, order, n_train, dtype = _merged_timeline(
+        fx, y, x_test
+    )
+    A, Q, H, _ = _build_ssm(fx.f.kernel, t_s, dtype)
+    run = _par_filter if parallel else _seq_filter
+    m_f, P_f, m_p, P_p, _ = run(A, Q, H, y_s, r_s, o_s)
+
+    S = 1 if num_samples is None else num_samples
+    D = H.shape[0]
+    n_all = t_s.shape[0]
+    eps = jax.random.normal(key, (n_all, S, D), dtype)
+
+    def safe_chol(M):
+        # P can be exactly singular (e.g. duplicated timepoints); jitter
+        # proportional to the trace keeps the draw well-defined.
+        jit = 1e-12 * (jnp.trace(M) + 1.0)
+        return jnp.linalg.cholesky(M + jit * jnp.eye(D, dtype=dtype))
+
+    x_last = m_f[-1][None, :] + eps[-1] @ safe_chol(P_f[-1]).T  # (S, D)
+
+    def step(carry, inp):
+        x_next = carry  # (S, D)
+        mk, Pk, mp_next, Pp_next, A_next, ek = inp
+        G = jnp.linalg.solve(Pp_next.T, (Pk @ A_next.T).T).T
+        cond_mean = mk[None, :] + (x_next - mp_next[None, :]) @ G.T
+        cond_cov = Pk - G @ Pp_next @ G.T
+        Lc = safe_chol(0.5 * (cond_cov + cond_cov.T))
+        x_k = cond_mean + ek @ Lc.T
+        return x_k, x_k
+
+    inps = (m_f[:-1], P_f[:-1], m_p[1:], P_p[1:], A[1:], eps[:-1])
+    _, xs = lax.scan(step, x_last, inps, reverse=True)
+    xs = jnp.concatenate([xs, x_last[None]], axis=0)  # (n_all, S, D)
+
+    f_s = xs @ H + prior_mean_s[:, None]  # (n_all, S)
+    inv = jnp.argsort(order)
+    f_test = f_s[inv][n_train:]  # (M, S)
+    return f_test[:, 0] if num_samples is None else f_test
+
+
+def markov_mean_and_var(fx, y: jax.Array, x_test, parallel: bool = False):
+    """Posterior-predictive marginals ``posterior(fx, y)(x_test)`` —
+    latent mean and variance at ``x_test`` — in O((N+M)·p³).
+
+    Runs filter + RTS smoother over the merged train/test timeline with
+    test points carried as unobserved steps.
+    """
+    t_s, y_s, r_s, o_s, prior_mean_s, order, n_train, dtype = _merged_timeline(
+        fx, y, x_test
+    )
     A, Q, H, _ = _build_ssm(fx.f.kernel, t_s, dtype)
     run = _par_filter if parallel else _seq_filter
     m_f, P_f, m_p, P_p, _ = run(A, Q, H, y_s, r_s, o_s)
@@ -402,7 +465,4 @@ def markov_mean_and_var(fx, y: jax.Array, x_test, parallel: bool = False):
 
     # scatter back to the merged order, then slice out the test entries
     inv = jnp.argsort(order)
-    mean_all = mean_s[inv]
-    var_all = var_s[inv]
-    n = ts.shape[0]
-    return mean_all[n:], var_all[n:]
+    return mean_s[inv][n_train:], var_s[inv][n_train:]

@@ -118,3 +118,36 @@ def test_unsupported_kernels_raise():
     fx2 = agp.GP(agp.Matern32Kernel())(jnp.zeros((8, 2)), 0.1)
     with pytest.raises(TypeError):
         markov_logpdf(fx2, jnp.zeros(8))
+
+
+@pytest.mark.parametrize("parallel", [False, True])
+def test_markov_rand_moments_match_dense_posterior(data, rng, parallel):
+    # FFBS joint samples: empirical mean/cov at test points vs the dense
+    # posterior (statistical oracle, 6000 draws)
+    x, y = data
+    kern = 1.2 * agp.with_lengthscale(agp.Matern32Kernel(), 0.8)
+    fx = agp.GP(kern)(x, 0.1)
+    x_test = jnp.asarray(np.sort(rng.uniform(0.5, 5.5, size=10)))
+    from abstractgps_tpu.models.markov import markov_rand
+
+    S = markov_rand(fx, y, x_test, jax.random.PRNGKey(0), 6000,
+                    parallel=parallel)
+    assert S.shape == (10, 6000)
+    post = fx.posterior(y)
+    mu_d = np.asarray(post.mean(x_test))
+    cov_d = np.asarray(post.cov(x_test))
+    emp_mu = np.mean(np.asarray(S), axis=1)
+    emp_cov = np.cov(np.asarray(S))
+    np.testing.assert_allclose(emp_mu, mu_d, atol=4.5 * np.sqrt(
+        np.diagonal(cov_d).max() / 6000) + 1e-3)
+    np.testing.assert_allclose(emp_cov, cov_d, atol=0.05 * cov_d.max() + 5e-3)
+
+
+def test_markov_rand_single_sample_shape(data):
+    x, y = data
+    fx = agp.GP(agp.Matern52Kernel())(x, 0.1)
+    from abstractgps_tpu.models.markov import markov_rand
+
+    s = markov_rand(fx, y, jnp.linspace(0, 6, 17), jax.random.PRNGKey(1))
+    assert s.shape == (17,)
+    assert bool(jnp.isfinite(s).all())
