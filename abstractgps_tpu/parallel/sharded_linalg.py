@@ -48,7 +48,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..kernels.base import Kernel, kernelmatrix
 
-__all__ = ["sharded_gram", "distributed_cholesky", "sharded_logpdf"]
+__all__ = [
+    "sharded_gram",
+    "distributed_cholesky",
+    "sharded_logpdf",
+    "sharded_mean_and_var",
+]
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
@@ -338,3 +343,101 @@ def sharded_logpdf(
     logdet, sq = jax.jit(run)(xp, delta, noise_diag.astype(dtype))
     out = -0.5 * (n * _LOG_2PI + 2.0 * logdet + sq)  # (q,)
     return out[0] if y_vec else out
+
+
+def sharded_mean_and_var(
+    fx,
+    y: jax.Array,
+    x_test,
+    mesh: Mesh,
+    axis: str = "tp",
+    block: int = 256,
+):
+    """Exact posterior-predictive marginals with the train gram sharded.
+
+    Semantics of ``posterior(fx, y).mean_and_var(x_test)`` (reference §3.3,
+    src/exact_gpr_posterior.jl:85-90) at TP scale, via whitened prediction:
+    ride the same distributed Cholesky sweep with RHS ``[δ, K(X, x*)]`` —
+    forward substitution gives ``z_δ = L⁻¹δ`` and ``Z = L⁻¹K(X, x*)``, so
+
+        mean = m(x*) + Zᵀ z_δ,     var = k**_diag − colsums(Z²)
+
+    with NO backward solve and no N×N or N×M replication: each device
+    builds only its row slab of the train gram AND of ``K(X_rows, x*)``.
+    Per-panel communication is one (B, 1+M) psum on top of the sweep's own
+    collectives. M (number of test points) is replicated — keep it ≤ a few
+    thousand per call and chunk larger test sets.
+
+    Same noise restriction as ``sharded_logpdf`` (diagonal-structured only).
+    """
+    from ..ops.noise import DenseNoise
+
+    if isinstance(fx.noise, DenseNoise):
+        raise NotImplementedError(
+            "sharded_mean_and_var supports isotropic/diagonal noise only; "
+            "use posterior(fx, y).mean_and_var(x_test) for DenseNoise."
+        )
+    prior = fx.f
+    x = fx.x
+    xt = jnp.asarray(x_test)
+    noise_diag = fx.noise.diag()
+    n = x.shape[0]
+    m_test = xt.shape[0]
+    ndev = mesh.shape[axis]
+    npad = _padded_size(n, block, ndev)
+    nb = npad // block
+    nb_local = nb // ndev
+
+    y = jnp.asarray(y)
+    if y.ndim != 1 or y.shape[0] != n:
+        raise ValueError(f"y must be (n,) with n={n}; got shape {y.shape}")
+
+    m = prior.mean(x)
+    delta = (y - m)[:, None]
+    kern = prior.kernel
+
+    if npad != n:
+        xp = jnp.pad(x, ((0, npad - n),) + ((0, 0),) * (x.ndim - 1))
+        delta = jnp.pad(delta, ((0, npad - n), (0, 0)))
+        noise_diag = jnp.pad(noise_diag, (0, npad - n))
+    else:
+        xp = x
+
+    dtype = delta.dtype
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(xp_rep, xt_rep, delta_rep, noise_rep):
+        d = lax.axis_index(axis)
+        rows_g = _local_rows(nb_local, block, ndev, d)
+        x_loc = jnp.take(xp_rep, rows_g, axis=0)
+        K_loc = kernelmatrix(kern, x_loc, xp_rep).astype(dtype)
+        cols_g = jnp.arange(npad, dtype=jnp.int32)[None, :]
+        on_diag = rows_g[:, None] == cols_g
+        K_loc = K_loc + jnp.where(on_diag, noise_rep[None, :], 0.0).astype(K_loc.dtype)
+        pad_r = (rows_g[:, None] >= n) | (cols_g >= n)
+        K_loc = jnp.where(pad_r, jnp.where(on_diag, 1.0, 0.0), K_loc)
+
+        # RHS slab: [δ rows | K(x_rows, x_test)], padded rows zeroed
+        Kt_loc = kernelmatrix(kern, x_loc, xt_rep).astype(dtype)
+        Kt_loc = jnp.where(rows_g[:, None] >= n, 0.0, Kt_loc)
+        rhs_loc = jnp.concatenate([jnp.take(delta_rep, rows_g, axis=0), Kt_loc], axis=1)
+
+        _, _, _, z = _factorize_slab(
+            K_loc, rhs_loc, nb=nb, block=block, ndev=ndev, axis=axis, with_rhs=True
+        )
+        z_d = z[:, 0]          # L⁻¹ δ   (npad,)
+        Z = z[:, 1:]           # L⁻¹ K*  (npad, M)
+        mean_c = Z.T @ z_d     # (M,)
+        var_red = jnp.sum(jnp.square(Z), axis=0)  # (M,)
+        return mean_c, var_red
+
+    mean_c, var_red = jax.jit(run)(xp, xt, delta, noise_diag.astype(dtype))
+    mean = prior.mean(xt) + mean_c
+    var = jnp.maximum(prior.var(xt) - var_red, 0.0)
+    return mean, var

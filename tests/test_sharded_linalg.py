@@ -117,3 +117,33 @@ def test_sharded_logpdf_many_panels_compiles_fast(rng, mesh):
     y = jnp.asarray(rng.normal(size=(n,)))
     got = sharded_logpdf(fx, y, mesh, block=16)
     np.testing.assert_allclose(float(got), float(fx.logpdf(y)), rtol=1e-9)
+
+
+def test_sharded_mean_and_var_matches_dense(rng, mesh):
+    from abstractgps_tpu.parallel.sharded_linalg import sharded_mean_and_var
+
+    n, m_t, d = 52, 11, 2
+    x = jnp.asarray(rng.uniform(size=(n, d)))
+    y = jnp.asarray(rng.normal(size=(n,)))
+    xt = jnp.asarray(rng.uniform(size=(m_t, d)))
+    fx = agp.GP(0.4, agp.Matern52Kernel())(x, 0.1)
+
+    mu, var = sharded_mean_and_var(fx, y, xt, mesh, block=8)
+    post = fx.posterior(y)
+    mu_d, var_d = post.mean_and_var(xt)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_d),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_d),
+                               rtol=1e-7, atol=1e-8)
+
+
+def test_sharded_mean_and_var_rejects_dense_noise(rng, mesh):
+    from abstractgps_tpu.ops.noise import DenseNoise
+    from abstractgps_tpu.parallel.sharded_linalg import sharded_mean_and_var
+
+    n = 16
+    x = jnp.asarray(rng.uniform(size=(n, 1)), jnp.float32)
+    S = 0.1 * jnp.eye(n, dtype=jnp.float32)
+    fx = agp.GP(agp.Matern32Kernel())(x, DenseNoise(S))
+    with pytest.raises(NotImplementedError):
+        sharded_mean_and_var(fx, jnp.zeros(n), x[:4], make_mesh(8, ("tp",)))
