@@ -66,18 +66,10 @@ class MvNormal:
     def logpdf(self, y):
         """Log density of a vector y, or of each column of a matrix Y —
         the same contract as ``FiniteGP.logpdf``."""
-        from jax import lax
+        from .ops.pallas_chol import _logpdf_from_chol
 
-        n = self.loc.shape[0]
-        vec = y.ndim == 1
-        D = (y - self.loc)[:, None] if vec else y - self.loc[:, None]
-        z = lax.linalg.triangular_solve(
-            self.scale_tril, D, left_side=True, lower=True
-        )
-        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(self.scale_tril)))
-        quad = jnp.sum(jnp.square(z), axis=0)
-        out = -0.5 * (n * _LOG_2PI + logdet + quad)
-        return out[0] if vec else out
+        delta = y - (self.loc if y.ndim == 1 else self.loc[:, None])
+        return _logpdf_from_chol(self.scale_tril, delta)
 
     def sample(self, key, num_samples: int | None = None):
         n = self.loc.shape[0]

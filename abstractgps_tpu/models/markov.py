@@ -356,16 +356,22 @@ def markov_logpdf(fx, y: jax.Array, parallel: bool = False) -> jax.Array:
     """``fx.logpdf(y)`` in O(N) time / memory for Markov kernels on 1-D x.
 
     Exact (tested against the dense Cholesky path to 1e-8 in f64); inputs
-    need not be pre-sorted. ``parallel=True`` uses the associative-scan
-    filter (O(log N) depth on TPU).
+    need not be pre-sorted. ``y`` may be a vector (n,) → scalar, or a
+    matrix (n, q) → (q,) of column-wise log densities (the FiniteGP
+    contract; columns are vmapped through the same filter).
+    ``parallel=True`` uses the associative-scan filter (O(log N) depth
+    on TPU).
     """
     ts, ys, rs, _, dtype = _prep(fx, y)
-    ys = ys - mean_vector(fx.f.mean_fn, ts[:, None]).astype(dtype)
+    m = mean_vector(fx.f.mean_fn, ts[:, None]).astype(dtype)
     A, Q, H, _ = _build_ssm(fx.f.kernel, ts, dtype)
     obs = jnp.ones(ts.shape, bool)
     run = _par_filter if parallel else _seq_filter
-    *_, ll = run(A, Q, H, ys, rs, obs)
-    return ll
+    if ys.ndim == 1:
+        *_, ll = run(A, Q, H, ys - m, rs, obs)
+        return ll
+    return jax.vmap(lambda col: run(A, Q, H, col - m, rs, obs)[-1],
+                    in_axes=1)(ys)
 
 
 def _merged_timeline(fx, y, x_test):
@@ -419,8 +425,9 @@ def markov_rand(
 
     def safe_chol(M):
         # P can be exactly singular (e.g. duplicated timepoints); jitter
-        # proportional to the trace keeps the draw well-defined.
-        jit = 1e-12 * (jnp.trace(M) + 1.0)
+        # proportional to the trace AND the dtype's resolution keeps the
+        # draw well-defined in f32 too (a fixed 1e-12 is below f32 eps).
+        jit = 100.0 * jnp.finfo(dtype).eps * (jnp.trace(M) + 1.0)
         return jnp.linalg.cholesky(M + jit * jnp.eye(D, dtype=dtype))
 
     x_last = m_f[-1][None, :] + eps[-1] @ safe_chol(P_f[-1]).T  # (S, D)

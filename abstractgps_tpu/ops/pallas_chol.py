@@ -141,22 +141,48 @@ def _mm(a, b):
 # ---------------------------------------------------------------------------
 
 
-def _blocked_cholesky_impl(A: jax.Array, block: int) -> jax.Array:
-    """Left-looking blocked Cholesky; reads ONLY the lower triangle of A.
+def _left_looking_sweep(npad: int, block: int, panel_fn, dtype) -> jax.Array:
+    """The single left-looking factorization driver behind both the
+    read-from-A and build-from-kernel sweeps.
 
     Right-looking rewrites the whole trailing matrix every panel —
     O(N³/B) words of HBM traffic (≈5.7 GB at N=8192, B=256). Left-looking
     instead updates each panel once against the already-computed columns:
 
-        P_k  = A[kB:, kB:(k+1)B] − L[kB:, :kB] · L[kB:(k+1)B, :kB]ᵀ
+        P_k  = panel_fn(k) − L[kB:, :kB] · L[kB:(k+1)B, :kB]ᵀ
         L_kk = chol(P_k top block)          (Pallas VMEM kernel)
         L_21 = P_k rest · L_kk⁻ᵀ            (GEMM)
 
-    Total traffic ≈ N³/(6B) words (~1.4 GB) and every GEMM has a fat
-    contraction dimension kB — MXU-efficient — at identical FLOP count.
-    The L buffer is updated with .at[].set panel writes, which XLA elides
-    to in-place.
+    Total traffic ≈ N³/(6B) words and every GEMM has a fat contraction
+    dimension kB — MXU-efficient — at identical FLOP count. The L buffer is
+    updated with .at[].set panel writes, which XLA elides to in-place.
+
+    ``panel_fn(k, r0)`` returns the (npad − r0, block) lower panel of the
+    (pre-padded) SPD matrix. The Python loop is statically unrolled, so
+    trace/compile size grows with nb = npad/block — fine to ~16k rows
+    (~128 panels); beyond that use the sharded ``_factorize_slab`` sweep,
+    whose ``lax.fori_loop`` is O(1)-compile at ~2× the triangular FLOPs.
     """
+    nb = npad // block
+    L = jnp.zeros((npad, npad), dtype)
+    for k in range(nb):
+        r0 = k * block
+        P = panel_fn(k, r0)
+        if k:
+            # subtract contributions of finished columns (one fat GEMM)
+            P = P - _mm(L[r0:, :r0], L[r0:r0 + block, :r0].T)
+        Lkk = _chol_block(P[:block], interpret=_INTERPRET)
+        if r0 + block < npad:
+            L21 = _mm(P[block:], _inv_lower(Lkk).T)   # (rest, B) GEMM
+            col = jnp.concatenate([Lkk, L21], axis=0)
+        else:
+            col = Lkk
+        L = L.at[r0:, r0:r0 + block].set(col)
+    return L
+
+
+def _blocked_cholesky_impl(A: jax.Array, block: int) -> jax.Array:
+    """Left-looking blocked Cholesky; reads ONLY the lower triangle of A."""
     n = A.shape[-1]
     pad = (-n) % block
     if pad:
@@ -166,22 +192,10 @@ def _blocked_cholesky_impl(A: jax.Array, block: int) -> jax.Array:
             [jnp.zeros((n,), A.dtype), jnp.ones((pad,), A.dtype)]
         ))
     np_ = n + pad
-    nb = np_ // block
 
-    L = jnp.zeros((np_, np_), A.dtype)
-    for k in range(nb):
-        r0 = k * block
-        P = A[r0:, r0:r0 + block]                     # lower panel of A
-        if k:
-            # subtract contributions of finished columns (one fat GEMM)
-            P = P - _mm(L[r0:, :r0], L[r0:r0 + block, :r0].T)
-        Lkk = _chol_block(P[:block], interpret=_INTERPRET)
-        if r0 + block < np_:
-            L21 = _mm(P[block:], _inv_lower(Lkk).T)   # (rest, B) GEMM
-            col = jnp.concatenate([Lkk, L21], axis=0)
-        else:
-            col = Lkk
-        L = L.at[r0:, r0:r0 + block].set(col)
+    L = _left_looking_sweep(
+        np_, block, lambda k, r0: A[r0:, r0:r0 + block], A.dtype
+    )
     return L[:n, :n] if pad else L
 
 
@@ -229,9 +243,16 @@ def should_use_fused_gram(x: jax.Array, noise_diag: jax.Array) -> bool:
 def _peel_transforms(kernel, x):
     """Apply input transforms once up front (they are pointwise in the
     inputs), so the per-panel cross-gram doesn't re-run them nb times.
-    Matters for FunctionTransform feature maps (deep kernels)."""
-    from ..kernels.base import TransformedKernel
+    Matters for FunctionTransform feature maps (deep kernels).
 
+    Inputs are canonicalized to (N, D) first, exactly as
+    ``TransformedKernel._t`` does — transforms (ARD/Linear/Function) assume
+    a 2-D batch and silently mis-broadcast on 1-D input otherwise.
+    """
+    from ..kernels.base import TransformedKernel
+    from .distance import as_inputs
+
+    x = as_inputs(x)
     while isinstance(kernel, TransformedKernel):
         x = kernel.transform(x)
         kernel = kernel.kernel
@@ -251,11 +272,8 @@ def _cholesky_gram_impl(kernel, x, noise_diag, block):
     if pad:
         x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
         noise_diag = jnp.pad(noise_diag, (0, pad))
-    nb = npad // block
 
-    L = jnp.zeros((npad, npad), jnp.float32)
-    for k in range(nb):
-        r0 = k * block
+    def panel_fn(k, r0):
         xb = x[r0:r0 + block]
         P = kernel.cross(x[r0:], xb).astype(jnp.float32)  # (npad-r0, B)
         rows = r0 + jnp.arange(npad - r0, dtype=jnp.int32)[:, None]
@@ -266,15 +284,9 @@ def _cholesky_gram_impl(kernel, x, noise_diag, block):
             # padded rows/cols → identity block (log 1 = 0, zero fill-in)
             is_pad = (rows >= n) | (cols >= n)
             P = jnp.where(is_pad, jnp.where(on_diag, 1.0, 0.0), P)
-        if k:
-            P = P - _mm(L[r0:, :r0], L[r0:r0 + block, :r0].T)
-        Lkk = _chol_block(P[:block], interpret=_INTERPRET)
-        if r0 + block < npad:
-            L21 = _mm(P[block:], _inv_lower(Lkk).T)
-            col = jnp.concatenate([Lkk, L21], axis=0)
-        else:
-            col = Lkk
-        L = L.at[r0:, r0:r0 + block].set(col)
+        return P
+
+    L = _left_looking_sweep(npad, block, panel_fn, jnp.float32)
     return L[:n, :n] if pad else L
 
 

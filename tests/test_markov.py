@@ -151,3 +151,15 @@ def test_markov_rand_single_sample_shape(data):
     s = markov_rand(fx, y, jnp.linspace(0, 6, 17), jax.random.PRNGKey(1))
     assert s.shape == (17,)
     assert bool(jnp.isfinite(s).all())
+
+
+@pytest.mark.parametrize("parallel", [False, True])
+def test_markov_logpdf_matrix_y(data, rng, parallel):
+    x, _ = data
+    Y = jnp.asarray(rng.normal(size=(x.shape[0], 3)))
+    fx = agp.GP(0.2, agp.Matern32Kernel())(x, 0.1)
+    got = markov_logpdf(fx, Y, parallel=parallel)
+    want = fx.logpdf(Y)
+    assert got.shape == (3,)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-8, atol=1e-8)

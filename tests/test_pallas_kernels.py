@@ -328,3 +328,22 @@ def test_fused_gram_grad(rng):
         np.asarray(jax.grad(s_ref)(x)),
         atol=1e-5,
     )
+
+
+def test_fused_gram_canonicalizes_1d_inputs_with_transforms(rng, monkeypatch):
+    # regression: ARD/Linear/Function transforms assume (N, D) inputs; the
+    # fused path must canonicalize 1-D x exactly as TransformedKernel._t
+    import abstractgps_tpu as agp
+    from abstractgps_tpu.kernels.base import ARDTransform, compose
+
+    monkeypatch.setattr(pallas_chol, "_MIN_N", 8)
+    monkeypatch.setattr(pallas_chol, "_BLOCK", 8)
+    n = 23
+    x = jnp.asarray(rng.uniform(size=(n,)), dtype=jnp.float32)  # 1-D!
+    nd = jnp.full((n,), 0.1, jnp.float32)
+    k = compose(agp.SEKernel(), ARDTransform(jnp.asarray([0.7], jnp.float32)))
+    L = pallas_chol.cholesky_gram(k, x, nd)
+    K = agp.kernelmatrix(k, x) + jnp.diag(nd)
+    np.testing.assert_allclose(
+        np.asarray(L), np.asarray(jax.lax.linalg.cholesky(K)), atol=2e-5
+    )

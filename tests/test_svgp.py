@@ -129,8 +129,13 @@ def test_fit_svgp_improves_elbo_and_is_jittable(setup):
     after = float(svgp_elbo(sv, x, y, noise))
     assert after > before
     assert np.isfinite(np.asarray(trace)).all()
-    # fitted bound approaches the optimal collapsed bound from below-ish
+    # the fitted bound must lie below the optimal collapsed bound (the
+    # exact maximum over (m, C) at these inducing points) but within
+    # striking distance of it after training
     f = agp.GP(kern)
+    opt = float(agp.elbo(agp.VFE(f(z, float(sv0.jitter))), f(x, noise), y))
+    assert after <= opt + 1e-6
+    assert after > opt - 0.25 * abs(opt)
 
 
 def test_fit_svgp_poisson_quadrature(rng):
