@@ -53,6 +53,19 @@ from .models.svgp import (
     svgp_init,
     svgp_posterior,
 )
+from .models.iterative import (
+    CGInference,
+    CGPosteriorGP,
+    cg_logpdf,
+    mbcg,
+    slq_logdet,
+)
+from .models.pathwise import (
+    FourierFeatures,
+    pathwise_sample,
+    prior_function_sample,
+    sample_fourier_features,
+)
 from .models.markov import (
     is_markov_kernel,
     markov_logpdf,

@@ -25,7 +25,7 @@ __all__ = ["PosteriorGP", "posterior", "ExactInference", "approx_log_evidence_ex
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["alpha", "L", "x", "delta"],
+    data_fields=["alpha", "L", "x", "delta", "noise"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
@@ -34,6 +34,7 @@ class _ExactCache:
     L: jax.Array      # chol(K + Σy), (N, N) lower
     x: jax.Array      # training inputs, (N, D)
     delta: jax.Array  # y − m, (N,)
+    noise: object = None  # the Σy noise object (pathwise sampling needs ε ~ N(0, Σy))
 
 
 @partial(
@@ -106,7 +107,7 @@ def posterior(fx: FiniteGP, y: jax.Array) -> PosteriorGP:
     m, L = fx._chol()
     delta = y - m
     alpha = covmat.chol_solve(L, delta)
-    return PosteriorGP(fx.f, _ExactCache(alpha, L, fx.x, delta))
+    return PosteriorGP(fx.f, _ExactCache(alpha, L, fx.x, delta, fx.noise))
 
 
 @precise
@@ -122,7 +123,19 @@ def _sequential_posterior(fx: FiniteGP, y: jax.Array) -> PosteriorGP:
     delta = jnp.concatenate([post.data.delta, delta2])
     alpha = covmat.chol_solve(L, delta)
     x = jnp.concatenate([post.data.x, x_new], axis=0)
-    return PosteriorGP(prior, _ExactCache(alpha, L, x, delta))
+    return PosteriorGP(prior, _ExactCache(alpha, L, x, delta,
+                                          _concat_noise(post.data.noise, fx.noise)))
+
+
+def _concat_noise(old, new):
+    """Block-diagonal composition of per-batch noise for the sequential
+    cache. Correlated (DenseNoise) blocks are dropped to ``None`` — only
+    pathwise sampling reads this field, and it raises a clear error then."""
+    from ..ops.noise import DenseNoise, DiagonalNoise
+
+    if old is None or isinstance(old, DenseNoise) or isinstance(new, DenseNoise):
+        return None
+    return DiagonalNoise(jnp.concatenate([old.diag(), new.diag()]))
 
 
 @dataclasses.dataclass(frozen=True)
