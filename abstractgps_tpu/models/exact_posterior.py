@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import covmat
+from ..ops.noise import noise_block_diag
 from ..ops.precision import precise
 from .finite_gp import FiniteGP
 from .gp import AbstractGP
@@ -123,19 +124,13 @@ def _sequential_posterior(fx: FiniteGP, y: jax.Array) -> PosteriorGP:
     delta = jnp.concatenate([post.data.delta, delta2])
     alpha = covmat.chol_solve(L, delta)
     x = jnp.concatenate([post.data.x, x_new], axis=0)
-    return PosteriorGP(prior, _ExactCache(alpha, L, x, delta,
-                                          _concat_noise(post.data.noise, fx.noise)))
-
-
-def _concat_noise(old, new):
-    """Block-diagonal composition of per-batch noise for the sequential
-    cache. Correlated (DenseNoise) blocks are dropped to ``None`` — only
-    pathwise sampling reads this field, and it raises a clear error then."""
-    from ..ops.noise import DenseNoise, DiagonalNoise
-
-    if old is None or isinstance(old, DenseNoise) or isinstance(new, DenseNoise):
-        return None
-    return DiagonalNoise(jnp.concatenate([old.diag(), new.diag()]))
+    # noise record: exact block-diagonal composition (ops.noise), so the
+    # cache keeps pathwise_sample support for every noise type — DenseNoise
+    # blocks survive as a block-diagonal DenseNoise rather than being
+    # degraded to None. Old caches restored without a noise field stay None.
+    noise = (None if post.data.noise is None
+             else noise_block_diag(post.data.noise, fx.noise))
+    return PosteriorGP(prior, _ExactCache(alpha, L, x, delta, noise))
 
 
 @dataclasses.dataclass(frozen=True)

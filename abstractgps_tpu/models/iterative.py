@@ -65,7 +65,7 @@ _LOG_2PI = math.log(2.0 * math.pi)
 # ---------------------------------------------------------------------------
 
 
-def mbcg(matvec, B: jax.Array, *, max_iters: int, tol: float = 0.0,
+def mbcg(matvec, B: jax.Array, *, max_iters: int, tol: float | None = None,
          precond=None):
     """Solve ``A X = B`` column-batched, recording the CG recurrence.
 
@@ -76,10 +76,19 @@ def mbcg(matvec, B: jax.Array, *, max_iters: int, tol: float = 0.0,
     frozen via masking — α/β of frozen steps are zeroed so the recovered
     Lanczos tridiagonal decouples into [T_active ⊕ I] exactly.
 
+    ``tol`` (relative residual) defaults to ``sqrt(eps)`` of the operand
+    dtype — ~1e-8 in f64, ~3e-4 in f32 — so columns actually freeze on the
+    TPU f32 path instead of stagnating at rounding noise and feeding junk
+    α/β into the SLQ tridiagonals. Numerical breakdown (``pKp ≤ 0``) also
+    deactivates the column: its step records α=β=0 and decouples exactly
+    like a frozen step.
+
     Returns ``(X, (alphas, betas, actives))`` with the coefficient arrays
     shaped (max_iters, q).
     """
     psolve = precond if precond is not None else (lambda v: v)
+    if tol is None:
+        tol = float(jnp.finfo(B.dtype).eps) ** 0.5
     rs0 = jnp.sum(B * B, axis=0)
     Z0 = psolve(B)
     rz0 = jnp.sum(B * Z0, axis=0)
@@ -90,6 +99,7 @@ def mbcg(matvec, B: jax.Array, *, max_iters: int, tol: float = 0.0,
         X, R, P, rz, active = carry
         KP = matvec(P)
         pKp = jnp.sum(P * KP, axis=0)
+        active = active & (pKp > 0)  # breakdown → freeze, α/β = 0
         alpha = jnp.where(active, rz / jnp.where(pKp > 0, pKp, 1.0), 0.0)
         X = X + alpha[None, :] * P
         R = R - alpha[None, :] * KP
@@ -169,35 +179,44 @@ def _contract_gram(kernel, x, Lft, Rgt, *, panel: int):
     return s
 
 
-def _make_precond(kernel, x, noise_diag, rank: int):
-    """(P⁻¹-apply, logdet P) for ``P = pivchol_k(K) + Σ``, or identity."""
+def _make_precond(kernel, x, noise_diag, rank: int, Lk=None):
+    """(P⁻¹-apply, logdet P) for ``P = pivchol_k(K) + Σ``, or identity.
+
+    ``Lk`` (the rank-k pivoted-Cholesky factor) may be passed in when the
+    caller already built it — ``cg_logpdf`` factors the preconditioner
+    exactly once per evaluation and threads the factor through, instead of
+    rebuilding the O(n·k²) factorization in both the wrapper and the impl.
+    """
     from ..ops.pivchol import pivoted_cholesky, woodbury_preconditioner
 
     if rank <= 0:
         return None, jnp.zeros((), noise_diag.dtype)
-    Lk = pivoted_cholesky(kernel, x, rank)
+    if Lk is None:
+        Lk = pivoted_cholesky(kernel, x, rank)
     solve, logdet_P, _ = woodbury_preconditioner(Lk, noise_diag)
     return solve, logdet_P
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def _cg_logpdf_core(kernel, x, noise_diag, delta, probes,
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _cg_logpdf_core(kernel, x, noise_diag, delta, probes, Lk,
                     max_iters, tol, panel, max_dense_n, precond_rank):
-    out, _, _, _ = _cg_logpdf_impl(kernel, x, noise_diag, delta, probes,
+    out, _, _, _ = _cg_logpdf_impl(kernel, x, noise_diag, delta, probes, Lk,
                                    max_iters, tol, panel, max_dense_n,
                                    precond_rank)
     return out
 
 
-def _cg_logpdf_impl(kernel, x, noise_diag, delta, probes,
+def _cg_logpdf_impl(kernel, x, noise_diag, delta, probes, Lk,
                     max_iters, tol, panel, max_dense_n, precond_rank):
     """Forward pass. With preconditioning, ``probes`` must be drawn with
-    covariance P (the ``cg_logpdf`` wrapper does this) and the recorded
-    recurrence tridiagonalises P^{-1/2}(K+Σ)P^{-1/2}, so
+    covariance P (the ``cg_logpdf`` wrapper does this, from the SAME ``Lk``
+    factor threaded through here — built once per evaluation) and the
+    recorded recurrence tridiagonalises P^{-1/2}(K+Σ)P^{-1/2}, so
     logdet(K+Σ) = logdet P + SLQ (BBMM, arXiv:1809.11165 §3.2)."""
     mv = make_gram_matvec(kernel, x, noise_diag,
                           panel=panel, max_dense_n=max_dense_n)
-    psolve, logdet_P = _make_precond(kernel, x, noise_diag, precond_rank)
+    psolve, logdet_P = _make_precond(kernel, x, noise_diag, precond_rank,
+                                     Lk=Lk)
     vec = delta.ndim == 1
     Dm = delta[:, None] if vec else delta
     k = Dm.shape[1]
@@ -217,18 +236,18 @@ def _cg_logpdf_impl(kernel, x, noise_diag, delta, probes,
     return (out[0] if vec else out), alpha, U, PinvZ
 
 
-def _cg_logpdf_fwd(kernel, x, noise_diag, delta, probes,
+def _cg_logpdf_fwd(kernel, x, noise_diag, delta, probes, Lk,
                    max_iters, tol, panel, max_dense_n, precond_rank):
     out, alpha, U, PinvZ = _cg_logpdf_impl(
-        kernel, x, noise_diag, delta, probes,
+        kernel, x, noise_diag, delta, probes, Lk,
         max_iters, tol, panel, max_dense_n, precond_rank)
     vec = delta.ndim == 1
-    return out, (kernel, x, noise_diag, PinvZ, alpha, U, vec)
+    return out, (kernel, x, noise_diag, PinvZ, alpha, U, vec, Lk)
 
 
 def _cg_logpdf_bwd(max_iters, tol, panel, max_dense_n, precond_rank,
                    res, gbar):
-    kernel, x, noise_diag, PinvZ, alpha, U, vec = res
+    kernel, x, noise_diag, PinvZ, alpha, U, vec, Lk = res
     g = jnp.reshape(gbar, (1,)) if vec else gbar  # (k,)
     p = PinvZ.shape[1]
     gsum = jnp.sum(g)
@@ -246,7 +265,7 @@ def _cg_logpdf_bwd(max_iters, tol, panel, max_dense_n, precond_rank,
     ndbar = jnp.sum(Lft * Rgt, axis=1)  # diag of the gram cotangent
     dbar = -(alpha * g[None, :])
     dbar = dbar[:, 0] if vec else dbar
-    return kbar, xbar, ndbar, dbar, jnp.zeros_like(PinvZ)
+    return kbar, xbar, ndbar, dbar, jnp.zeros_like(PinvZ), jnp.zeros_like(Lk)
 
 
 _cg_logpdf_core.defvjp(_cg_logpdf_fwd, _cg_logpdf_bwd)
@@ -273,16 +292,18 @@ def _require_kernel_prior(fx):
 
 @precise
 def cg_logpdf(fx, y, key=None, *, num_probes: int = 32,
-              max_iters: int = 256, tol: float = 1e-8,
+              max_iters: int = 256, tol: float | None = None,
               panel: int = 1024, max_dense_n: int = 8192,
               precond_rank: int = 0) -> jax.Array:
     """Matrix-free estimate of ``logpdf(fx, y)``.
 
-    Solves are exact to ``tol``; the logdet is the SLQ estimator over
+    Solves are exact to ``tol`` (default: sqrt(eps) of the data dtype —
+    reachable in f32, tight in f64); the logdet is the SLQ estimator over
     ``num_probes`` probes (unbiased in expectation as num_probes,
     max_iters → ∞). ``precond_rank`` > 0 enables the rank-k pivoted-
     Cholesky/Woodbury preconditioner — essential for small noise — with
-    probes drawn ~ N(0, P) and logdet split as logdet P + SLQ.
+    probes drawn ~ N(0, P) and logdet split as logdet P + SLQ; the rank-k
+    factor is built ONCE here and threaded into the impl/VJP.
     ``y`` is (n,) → scalar or (n, q) → (q,) column-wise, as
     src/finite_gp_projection.jl:306-311.
     """
@@ -298,10 +319,13 @@ def cg_logpdf(fx, y, key=None, *, num_probes: int = 32,
         _, _, sample = woodbury_preconditioner(Lk, nd)
         probes = sample(key, num_probes).astype(delta.dtype)
     else:
+        Lk = jnp.zeros((fx.x.shape[0], 0), delta.dtype)
         probes = jax.random.rademacher(
             key, (fx.x.shape[0], num_probes), dtype=delta.dtype
         )
-    return _cg_logpdf_core(kernel, fx.x, nd, delta, probes,
+    if tol is None:
+        tol = float(jnp.finfo(delta.dtype).eps) ** 0.5
+    return _cg_logpdf_core(kernel, fx.x, nd, delta, probes, Lk,
                            max_iters, tol, panel, max_dense_n, precond_rank)
 
 
@@ -330,7 +354,7 @@ class CGPosteriorGP(AbstractGP):
     noise_diag: jax.Array
     alpha: jax.Array
     max_iters: int = 256
-    tol: float = 1e-8
+    tol: float | None = None
     panel: int = 1024
     max_dense_n: int = 8192
     precond_rank: int = 0
@@ -398,7 +422,7 @@ class CGInference:
 
     num_probes: int = 32
     max_iters: int = 256
-    tol: float = 1e-8
+    tol: float | None = None
     panel: int = 1024
     max_dense_n: int = 8192
     precond_rank: int = 64

@@ -169,7 +169,11 @@ class FourierFeatures:
     def num_features(self) -> int:
         return self.omega.shape[0]
 
+    @precise
     def __call__(self, x) -> jax.Array:
+        # @precise: this runs inside user closures AFTER pathwise_sample's
+        # own @precise context has exited — the x@ωᵀ GEMM must still obey
+        # the library's floored-precision policy (ops/precision.py).
         x = as_inputs(x)
         for t in self.transforms:
             x = t(x)
@@ -289,7 +293,10 @@ def prior_function_sample(
     s = 1 if num_samples is None else num_samples
     w = jax.random.normal(k_w, (phi.num_features, s))
 
+    @precise
     def h(x):
+        # @precise: executes after this constructor returns, outside any
+        # ambient precision context — keep the φ(x)@w GEMM floored.
         x = as_inputs(x)
         out = phi(x) @ w + f.mean(x)[:, None]
         return out[:, 0] if num_samples is None else out
@@ -343,7 +350,10 @@ def pathwise_sample(
     z = jax.scipy.linalg.solve_triangular(L, resid, lower=True)
     v = jax.scipy.linalg.solve_triangular(L.T, z, lower=False)  # (N, s)
 
+    @precise
     def g(xs):
+        # @precise: the sampler closure outlives pathwise_sample's own
+        # precision context; its GEMMs (φ(x)@w, cross@v) must re-enter it.
         xs_in = as_inputs(xs)
         cross = prior.kernel.cross(xs_in, x_train)        # (nx, N)
         out = prior.mean(xs_in)[:, None] + phi(xs_in) @ w + cross @ v

@@ -56,18 +56,21 @@ def sq_norms(x: jax.Array) -> jax.Array:
 
 
 def _dist_precision():
-    """MXU precision for the distance matmul: library policy floored at
-    HIGH (bf16x3), independent of the ambient context.
+    """MXU precision for the distance matmul: ALWAYS HIGHEST (bf16x6),
+    independent of the ambient context and of the library-wide policy.
 
     The ``‖x‖² + ‖z‖² − 2·x·zᵀ`` expansion is cancellation-prone: one
     single-pass bf16 matmul (TPU DEFAULT) gives ~1e-2 absolute gram error,
-    which silently corrupts Cholesky pivots (observed: NaN factor at N=8192
-    when small panels fell back to this path outside a ``@precise`` context,
-    while large panels used the HIGHEST-pinned Pallas tiles).
+    which silently corrupts Cholesky pivots, and even HIGH (bf16x3) gives
+    ~6.5e-5 absolute gram error — measured on TPU v5e to push the smallest
+    eigenvalue of a 64-point Matern-5/2 gram to −1.4e-4, past any jitter
+    ≤1e-4 (NaN factor). HIGHEST brings the gram to ~4.6e-6 (f32-quality,
+    mineig −3e-6). Cost is irrelevant: the distance matmul is O(N²·D)
+    against the factorization's O(N³/3) — <1% of the hot path at N=8192,
+    D=8 — so unlike the Cholesky panel GEMMs (floored at HIGH for speed)
+    this primitive always takes the accurate path.
     """
-    from .precision import floored_precision
-
-    return floored_precision()
+    return jax.lax.Precision.HIGHEST
 
 
 def pairwise_sqdist(x: jax.Array, z: jax.Array | None = None) -> jax.Array:
