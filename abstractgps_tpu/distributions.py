@@ -25,6 +25,8 @@ __all__ = [
     "Exponential",
     "Gamma",
     "LogNormal",
+    "ProductDistribution",
+    "product_distribution",
 ]
 
 _LOG_2PI = math.log(2.0 * math.pi)
@@ -148,3 +150,33 @@ class LogNormal:
     def sample(self, key):
         shape = jnp.broadcast_shapes(jnp.shape(self.loc), jnp.shape(self.scale))
         return jnp.exp(self.loc + self.scale * jax.random.normal(key, shape))
+
+
+@_pytree
+@dataclasses.dataclass(frozen=True)
+class ProductDistribution:
+    """Product of independent scalar distributions → one joint distribution.
+
+    The analogue of Distributions.jl's ``product_distribution`` as used in
+    the reference PPL certification (test/ppl/turing.jl:3,37:
+    ``y ~ product_distribution([Poisson(λ_i) for λ_i in λ])``). TPU-native
+    form: instead of a list of scalar distributions, wrap ONE distribution
+    whose parameters are batched arrays (the vectorised layout every
+    distribution in this module already supports) — the joint ``logpdf``
+    is the sum of the per-element logpdfs and ``sample`` draws the whole
+    batch with a single vectorised primitive.
+    """
+
+    components: object  # any distribution in this module, batched params
+
+    def logpdf(self, y):
+        return jnp.sum(self.components.logpdf(y))
+
+    def sample(self, key):
+        return self.components.sample(key)
+
+
+def product_distribution(components) -> ProductDistribution:
+    """``product_distribution(Poisson(rate=λ_vec))`` — joint distribution of
+    independent elements (reference: test/ppl/turing.jl:3)."""
+    return ProductDistribution(components)

@@ -62,15 +62,19 @@ def fit_sharded(
     theta0 = replicate(theta0, mesh)
     opt_state = replicate(optimizer.init(theta0), mesh)
 
-    def step(carry, _):
-        theta, opt_state = carry
-        val, grads = jax.value_and_grad(loss)(theta, data)
-        updates, opt_state = optimizer.update(grads, opt_state, theta)
-        theta = optax.apply_updates(theta, updates)
-        return (theta, opt_state), val
+    def run(theta, opt_state, data):
+        # data enters as a jit ARGUMENT, never a closure constant — a
+        # multi-host sharded array cannot be baked into the program
+        # (non-addressable shards), and passing it also keeps the compiled
+        # program reusable across datasets of the same shape.
+        def step(carry, _):
+            theta, opt_state = carry
+            val, grads = jax.value_and_grad(loss)(theta, data)
+            updates, opt_state = optimizer.update(grads, opt_state, theta)
+            theta = optax.apply_updates(theta, updates)
+            return (theta, opt_state), val
 
-    def run(theta, opt_state):
         return jax.lax.scan(step, (theta, opt_state), None, length=num_steps)
 
-    (theta, _), history = jax.jit(run)(theta0, opt_state)
+    (theta, _), history = jax.jit(run)(theta0, opt_state, data)
     return ShardedFitResult(theta, history)

@@ -352,6 +352,7 @@ def sharded_mean_and_var(
     mesh: Mesh,
     axis: str = "tp",
     block: int = 256,
+    test_chunk: int = 4096,
 ):
     """Exact posterior-predictive marginals with the train gram sharded.
 
@@ -364,9 +365,18 @@ def sharded_mean_and_var(
 
     with NO backward solve and no N×N or N×M replication: each device
     builds only its row slab of the train gram AND of ``K(X_rows, x*)``.
-    Per-panel communication is one (B, 1+M) psum on top of the sweep's own
-    collectives. M (number of test points) is replicated — keep it ≤ a few
-    thousand per call and chunk larger test sets.
+    Per-panel communication is one (B, q+M) psum on top of the sweep's own
+    collectives.
+
+    ``y`` may be (n,) or (n, q) — columns are independent datasets sharing
+    the same inputs (the reference's matrix-logpdf layout,
+    src/finite_gp_projection.jl:306-311); mean is then (M, q).
+
+    Test sets larger than ``test_chunk`` are chunked internally; each chunk
+    re-runs the sweep (the fused design never stores the distributed
+    factor), so cost is one O(N³/P) factorization per ceil(M/test_chunk)
+    chunks — raise ``test_chunk`` if HBM allows (per-device RHS slab is
+    (npad/ndev)·(q+test_chunk) floats).
 
     Same noise restriction as ``sharded_logpdf`` (diagonal-structured only).
     """
@@ -379,7 +389,18 @@ def sharded_mean_and_var(
         )
     prior = fx.f
     x = fx.x
-    xt = jnp.asarray(x_test)
+    xt_all = jnp.asarray(x_test)
+    if xt_all.shape[0] > test_chunk:
+        means, vars_ = [], []
+        for s in range(0, xt_all.shape[0], test_chunk):
+            mc, vc = sharded_mean_and_var(
+                fx, y, xt_all[s:s + test_chunk], mesh,
+                axis=axis, block=block, test_chunk=test_chunk,
+            )
+            means.append(mc)
+            vars_.append(vc)
+        return jnp.concatenate(means, axis=0), jnp.concatenate(vars_, axis=0)
+    xt = xt_all
     noise_diag = fx.noise.diag()
     n = x.shape[0]
     m_test = xt.shape[0]
@@ -389,11 +410,13 @@ def sharded_mean_and_var(
     nb_local = nb // ndev
 
     y = jnp.asarray(y)
-    if y.ndim != 1 or y.shape[0] != n:
-        raise ValueError(f"y must be (n,) with n={n}; got shape {y.shape}")
+    y_vec = y.ndim == 1
+    if y.shape[0] != n or y.ndim > 2:
+        raise ValueError(f"y must be (n,) or (n, q) with n={n}; got {y.shape}")
+    q = 1 if y_vec else y.shape[1]
 
     m = prior.mean(x)
-    delta = (y - m)[:, None]
+    delta = (y - m)[:, None] if y_vec else y - m[:, None]
     kern = prior.kernel
 
     if npad != n:
@@ -431,13 +454,14 @@ def sharded_mean_and_var(
         _, _, _, z = _factorize_slab(
             K_loc, rhs_loc, nb=nb, block=block, ndev=ndev, axis=axis, with_rhs=True
         )
-        z_d = z[:, 0]          # L⁻¹ δ   (npad,)
-        Z = z[:, 1:]           # L⁻¹ K*  (npad, M)
-        mean_c = Z.T @ z_d     # (M,)
+        z_d = z[:, :q]         # L⁻¹ δ   (npad, q)
+        Z = z[:, q:]           # L⁻¹ K*  (npad, M)
+        mean_c = Z.T @ z_d     # (M, q)
         var_red = jnp.sum(jnp.square(Z), axis=0)  # (M,)
         return mean_c, var_red
 
     mean_c, var_red = jax.jit(run)(xp, xt, delta, noise_diag.astype(dtype))
-    mean = prior.mean(xt) + mean_c
+    mt = prior.mean(xt)
+    mean = (mt + mean_c[:, 0]) if y_vec else (mt[:, None] + mean_c)
     var = jnp.maximum(prior.var(xt) - var_red, 0.0)
     return mean, var

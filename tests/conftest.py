@@ -32,3 +32,14 @@ def rng():
 @pytest.fixture
 def key():
     return jax.random.PRNGKey(42)
+
+
+@pytest.fixture
+def sanitize():
+    """Opt-in sanitizer fixture (SURVEY §5): run the test body under
+    jax_debug_nans + jax_enable_checks so any NaN produced inside jit
+    raises at the producing primitive instead of propagating."""
+    from abstractgps_tpu.utils.debug import debug_mode
+
+    with debug_mode():
+        yield

@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import abstractgps_tpu as agp
+import pytest
 
 
 def _setup(rng, n=10, noise=1e-8):
@@ -48,6 +49,7 @@ def test_posterior_closed_form(rng):
     assert np.allclose(p.cov(xt, zt), Cxz_ref, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_sequential_equals_batch(rng):
     # sequential conditioning ≡ batch, field by field
     # (test/exact_gpr_posterior.jl:29-43)
@@ -97,6 +99,7 @@ def test_exact_inference_marker(rng):
     )
 
 
+@pytest.mark.slow
 def test_posterior_differentiable_hyperparams(rng):
     f, fx, x, y = _setup(rng, noise=0.1)
     xt = jnp.linspace(-1, 1, 5)

@@ -12,6 +12,7 @@ def _examples_on_path(monkeypatch):
     monkeypatch.setattr(sys, "argv", ["test"])
 
 
+@pytest.mark.slow
 def test_intro_1d_smoke():
     import intro_1d
 
@@ -19,6 +20,7 @@ def test_intro_1d_smoke():
     assert float(theta["ell"]) > 0
 
 
+@pytest.mark.slow
 def test_mauna_loa_smoke():
     import mauna_loa
 
@@ -26,6 +28,7 @@ def test_mauna_loa_smoke():
     assert rmse < 50.0  # loose: smoke mode subsamples heavily
 
 
+@pytest.mark.slow
 def test_deep_kernel_learning_smoke():
     import deep_kernel_learning
 
@@ -33,6 +36,7 @@ def test_deep_kernel_learning_smoke():
     assert rmse < 2.0
 
 
+@pytest.mark.slow
 def test_parametric_heteroscedastic_smoke():
     import parametric_heteroscedastic
 
@@ -40,6 +44,7 @@ def test_parametric_heteroscedastic_smoke():
     assert inside > 0.9
 
 
+@pytest.mark.slow
 def test_sparse_vfe_50k_smoke():
     import sparse_vfe_50k
 
@@ -50,6 +55,7 @@ def test_sparse_vfe_50k_smoke():
     assert float(trace[-1]) > float(trace[0])
 
 
+@pytest.mark.slow
 def test_latent_poisson_nuts_smoke():
     import latent_poisson_nuts
 

@@ -6,6 +6,7 @@ import numpy as np
 import scipy.stats
 
 import abstractgps_tpu as agp
+import pytest
 
 
 def _fx(rng, n=11, noise=0.1, mean=None):
@@ -104,6 +105,7 @@ def test_sqmahal_and_gradlogpdf(rng):
     assert np.allclose(g, fx.gradlogpdf(y), rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_logpdf_gradients_finite_diff(rng):
     # AD correctness vs central differences (test/finite_gp_projection.jl:152-178)
     x = jnp.asarray(rng.standard_normal(7))
@@ -135,6 +137,7 @@ def test_zero_gradient_at_mean(rng):
     assert np.allclose(g, 0.0, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_dtype_stability(rng):
     # Float32 and Float64 parametric tests (test/finite_gp_projection.jl:180-191)
     for dt in (jnp.float32, jnp.float64):
@@ -161,6 +164,7 @@ def test_cross_cov(rng):
     assert np.allclose(f(x1).cov(f(x2)), expected, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_to_mvnormal(rng):
     # convert(MvNormal, fx) parity (src/finite_gp_projection.jl:24-28)
     x = jnp.asarray(rng.standard_normal(9))

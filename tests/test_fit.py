@@ -36,6 +36,7 @@ def _theta0():
     }
 
 
+@pytest.mark.slow
 def test_fit_adam_improves_nlml(key):
     x, y = _make_data(key)
     loss = F.nlml(_build_fx, x, y)
@@ -44,6 +45,7 @@ def test_fit_adam_improves_nlml(key):
     assert jnp.isfinite(res.history).all()
 
 
+@pytest.mark.slow
 def test_fit_lbfgs_matches_adam(key):
     x, y = _make_data(key)
     loss = F.nlml(_build_fx, x, y)
@@ -59,6 +61,7 @@ def test_fit_lbfgs_matches_adam(key):
     assert jnp.linalg.norm(gflat) < 1e-3
 
 
+@pytest.mark.slow
 def test_fit_elbo_sparse(key):
     x, y = _make_data(key, n=120)
     z0 = jnp.linspace(0.0, 6.0, 16)

@@ -37,6 +37,7 @@ def test_gram_matvec_matches_dense(rng):
     )
 
 
+@pytest.mark.slow
 def test_mbcg_solves_and_freezes(rng):
     f, fx, x, y = _setup(rng)
     nd = fx.noise.diag()
@@ -50,6 +51,7 @@ def test_mbcg_solves_and_freezes(rng):
     assert bool(actives[0, 0])
 
 
+@pytest.mark.slow
 def test_cg_logpdf_matches_dense(rng, key):
     f, fx, x, y = _setup(rng)
     exact = float(fx.logpdf(y))
@@ -72,6 +74,7 @@ def test_cg_logpdf_matches_dense(rng, key):
                                rtol=1e-6)  # logdet cancels in the difference
 
 
+@pytest.mark.slow
 def test_cg_logpdf_gradients_match_dense(rng, key):
     """BBMM low-rank backward vs AD through the dense path.
 
@@ -99,6 +102,7 @@ def test_cg_logpdf_gradients_match_dense(rng, key):
         assert abs(a - b) < 0.05 * max(1.0, abs(b))
 
 
+@pytest.mark.slow
 def test_cg_posterior_matches_exact_posterior(rng, key):
     f, fx, x, y = _setup(rng, n=128)
     xs = jnp.asarray(rng.uniform(size=(17, 3)))
@@ -122,6 +126,7 @@ def test_cg_posterior_matches_exact_posterior(rng, key):
     assert abs(float(ev) - float(fx.logpdf(y))) / abs(float(fx.logpdf(y))) < 3e-2
 
 
+@pytest.mark.slow
 def test_cg_posterior_collapses_onto_observations(rng):
     # test/exact_gpr_posterior.jl:21-22 analogue. At noise 1e-9 the system
     # has κ ~ 1e9 — unpreconditioned CG cannot converge; the pivoted-
@@ -139,6 +144,7 @@ def test_cg_posterior_collapses_onto_observations(rng):
     assert float(jnp.max(jnp.abs(p_nopc.mean(x) - p_dense.mean(x)))) > 1e-5
 
 
+@pytest.mark.slow
 def test_pivoted_cholesky_and_preconditioner(rng):
     from abstractgps_tpu.ops.pivchol import (
         pivoted_cholesky,
@@ -170,6 +176,7 @@ def test_pivoted_cholesky_and_preconditioner(rng):
     assert float(jnp.max(jnp.abs(emp - P))) < 0.35
 
 
+@pytest.mark.slow
 def test_cg_logpdf_preconditioned_matches_dense(rng, key):
     f, fx, x, y = _setup(rng, n=192, noise=0.01)
     exact = float(fx.logpdf(y))
@@ -195,6 +202,7 @@ def test_cg_rejects_dense_noise_and_non_gp_prior(rng):
         cg_logpdf(p(x, 0.1), y)
 
 
+@pytest.mark.slow
 def test_cg_conformance_internal_interface(rng, key):
     """The CGPosteriorGP passes the same internal-API conformance suite as
     every other AbstractGP (reference src/util/TestUtils.jl:133-218)."""

@@ -6,8 +6,10 @@ import numpy as np
 
 import abstractgps_tpu as agp
 from abstractgps_tpu import distributions as dist
+import pytest
 
 
+@pytest.mark.slow
 def test_latent_gp_poisson(key, rng):
     x = jnp.asarray(np.sort(rng.uniform(0, 5, 15)))
     f = agp.GP(agp.Matern32Kernel())

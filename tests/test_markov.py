@@ -42,6 +42,7 @@ def data(rng):
 
 @pytest.mark.parametrize("kern", KERNELS)
 @pytest.mark.parametrize("parallel", [False, True])
+@pytest.mark.slow
 def test_markov_logpdf_matches_dense(data, kern, parallel):
     x, y = data
     fx = agp.GP(kern)(x, 0.1)
@@ -50,6 +51,7 @@ def test_markov_logpdf_matches_dense(data, kern, parallel):
     np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_markov_logpdf_unsorted_heteroscedastic_const_mean(rng):
     n = 64
     x = jnp.asarray(rng.uniform(0.0, 5.0, size=n))  # deliberately unsorted
@@ -62,6 +64,7 @@ def test_markov_logpdf_unsorted_heteroscedastic_const_mean(rng):
 
 
 @pytest.mark.parametrize("parallel", [False, True])
+@pytest.mark.slow
 def test_markov_posterior_marginals_match_dense(data, parallel, rng):
     x, y = data
     kern = 1.4 * agp.with_lengthscale(agp.Matern52Kernel(), 0.7)
@@ -76,6 +79,7 @@ def test_markov_posterior_marginals_match_dense(data, parallel, rng):
                                rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_markov_gradients_match_dense(data):
     x, y = data
 
@@ -96,6 +100,7 @@ def test_markov_gradients_match_dense(data):
                                    rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_markov_jits_and_scales(rng):
     n = 2000
     x = jnp.asarray(np.sort(rng.uniform(0, 50.0, size=n)))
@@ -121,6 +126,7 @@ def test_unsupported_kernels_raise():
 
 
 @pytest.mark.parametrize("parallel", [False, True])
+@pytest.mark.slow
 def test_markov_rand_moments_match_dense_posterior(data, rng, parallel):
     # FFBS joint samples: empirical mean/cov at test points vs the dense
     # posterior (statistical oracle, 6000 draws)
@@ -154,6 +160,7 @@ def test_markov_rand_single_sample_shape(data):
 
 
 @pytest.mark.parametrize("parallel", [False, True])
+@pytest.mark.slow
 def test_markov_logpdf_matrix_y(data, rng, parallel):
     x, _ = data
     Y = jnp.asarray(rng.normal(size=(x.shape[0], 3)))

@@ -71,6 +71,7 @@ def test_correlated_gaussian_moments(key):
     assert float(res.diverging.mean()) < 0.05
 
 
+@pytest.mark.slow
 def test_nuts_gp_hyperparameter_posterior(key):
     # smoke: NUTS over (log-lengthscale, log-variance, log-noise) of a GP
     # marginal likelihood + weak prior; checks finiteness and movement

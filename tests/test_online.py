@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 
 import abstractgps_tpu as agp
+import pytest
+
 from abstractgps_tpu.models.online import (
     online_extend,
     online_init,
@@ -14,6 +16,7 @@ from abstractgps_tpu.models.online import (
 )
 
 
+@pytest.mark.slow
 def test_online_matches_batch(key):
     k1, k2, k3 = jax.random.split(key, 3)
     n, b, d = 32, 8, 2

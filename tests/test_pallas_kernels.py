@@ -52,6 +52,7 @@ def test_pallas_cholesky_default_block_and_padding(rng):
     np.testing.assert_allclose(np.asarray(L), np.asarray(L_ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_pallas_cholesky_grad_matches_lax(rng):
     A = _spd(rng, 96)
 
@@ -116,6 +117,7 @@ def test_non_psd_propagates_nan(rng):
 
 
 @pytest.mark.parametrize("n", [96, 150])  # 150 exercises pad-to-block
+@pytest.mark.slow
 def test_cholesky_gram_matches_build_then_factor(rng, n, monkeypatch):
     import abstractgps_tpu as agp
 
@@ -133,6 +135,7 @@ def test_cholesky_gram_matches_build_then_factor(rng, n, monkeypatch):
     assert np.allclose(np.triu(np.asarray(L), 1), 0.0)
 
 
+@pytest.mark.slow
 def test_cholesky_gram_grad_matches_unfused(rng, monkeypatch):
     import abstractgps_tpu as agp
 
@@ -170,6 +173,7 @@ def test_cholesky_gram_grad_matches_unfused(rng, monkeypatch):
         )
 
 
+@pytest.mark.slow
 def test_gram_logpdf_core_value_and_grad(rng, monkeypatch):
     # fused gram→chol→logpdf op with the closed-form ∂logpdf/∂K pullback:
     # value + grads (kernel params, noise, y) vs the dense formulation
@@ -238,6 +242,7 @@ def test_gram_logpdf_core_value_and_grad(rng, monkeypatch):
         )
 
 
+@pytest.mark.slow
 def test_finite_gp_routes_through_fused_path(rng, monkeypatch):
     import abstractgps_tpu as agp
 
@@ -309,6 +314,7 @@ def test_fused_gram_symmetric_and_cross(rng):
     )
 
 
+@pytest.mark.slow
 def test_fused_gram_grad(rng):
     import abstractgps_tpu as agp
 
@@ -330,6 +336,7 @@ def test_fused_gram_grad(rng):
     )
 
 
+@pytest.mark.slow
 def test_fused_gram_canonicalizes_1d_inputs_with_transforms(rng, monkeypatch):
     # regression: ARD/Linear/Function transforms assume (N, D) inputs; the
     # fused path must canonicalize 1-D x exactly as TransformedKernel._t

@@ -9,6 +9,7 @@ import numpy as np
 import abstractgps_tpu as agp
 from abstractgps_tpu import params as P_
 from abstractgps_tpu.parallel import fit_sharded, make_mesh, shard_along
+import pytest
 
 
 def _data(key, n=256):
@@ -26,6 +27,7 @@ def test_mesh_shapes():
     assert mesh2.shape == {"dp": 4, "tp": 2}
 
 
+@pytest.mark.slow
 def test_sharded_elbo_matches_unsharded(key):
     x, y = _data(key)
     z = x[::16]
@@ -70,6 +72,7 @@ def test_sharded_logpdf_matches(key):
     np.testing.assert_allclose(got, expect, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_fit_sharded_runs_and_improves(key):
     x, y = _data(key)
     z0 = x[::16]

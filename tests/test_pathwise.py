@@ -58,6 +58,7 @@ def test_prior_function_sample_moments():
     assert np.max(np.abs(C_emp - K)) < 0.12
 
 
+@pytest.mark.slow
 def test_pathwise_posterior_moments_match_exact():
     """Pathwise sample paths reproduce the exact posterior's mean/cov."""
     rng = np.random.default_rng(3)
@@ -109,6 +110,7 @@ def test_pathwise_jits_and_vmaps():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_pathwise_dense_noise_moments():
     """Correlated DenseNoise: ε is drawn from the full Σy."""
     rng = np.random.default_rng(9)

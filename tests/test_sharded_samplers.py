@@ -9,12 +9,14 @@ import numpy as np
 from abstractgps_tpu.inference.mcmc import init_chain_positions, run_mcmc
 from abstractgps_tpu.inference.mcmc.smc import run_smc
 from abstractgps_tpu.parallel import make_mesh
+import pytest
 
 
 def _logdens(q):
     return -0.5 * jnp.sum(jnp.square(q))
 
 
+@pytest.mark.slow
 def test_sharded_nuts_matches_unsharded(key):
     k1, k2 = jax.random.split(key)
     init = init_chain_positions(k1, jnp.zeros((3,)), num_chains=8)

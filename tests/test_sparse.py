@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import abstractgps_tpu as agp
+import pytest
 
 JITTER = 1e-12
 
@@ -93,6 +94,7 @@ def test_update_posterior_new_observations(rng):
     assert np.allclose(p_online.data.m_eps, p_batch.data.m_eps, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_update_posterior_new_pseudopoints(rng):
     # online ≡ batch for the add-pseudo-points path
     # (test/sparse_approximations.jl:57-84)
@@ -113,6 +115,7 @@ def test_update_posterior_new_pseudopoints(rng):
     assert np.allclose(p_online.cov(xt), p_batch.cov(xt), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_elbo_differentiable(rng):
     f, fx, x, y, z = _setup(rng)
 
@@ -132,6 +135,7 @@ def test_elbo_differentiable(rng):
         assert np.allclose(g[i], fd, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_elbo_dtype_stability(rng):
     # (test/sparse_approximations.jl:103-118)
     for dt in (jnp.float32, jnp.float64):

@@ -36,6 +36,7 @@ def setup(rng):
     return x, z, y, kern
 
 
+@pytest.mark.slow
 def test_optimal_params_recover_collapsed_vfe(setup):
     x, z, y, kern = setup
     noise = 0.25
@@ -138,6 +139,7 @@ def test_fit_svgp_improves_elbo_and_is_jittable(setup):
     assert after > opt - 0.25 * abs(opt)
 
 
+@pytest.mark.slow
 def test_fit_svgp_poisson_quadrature(rng):
     n, m = 80, 10
     x = jnp.asarray(np.linspace(0, 6, n)[:, None])
@@ -173,6 +175,7 @@ def test_svgp_posterior_composes_with_finite_gp(setup, rng):
     assert np.isfinite(float(fx.logpdf(s)))
 
 
+@pytest.mark.slow
 def test_svgp_float32_stability(setup):
     x, z, y, _ = setup
     x32, z32, y32 = (jnp.asarray(a, jnp.float32) for a in (x, z, y))
@@ -184,6 +187,7 @@ def test_svgp_float32_stability(setup):
     assert val.dtype == jnp.float32 and np.isfinite(float(val))
 
 
+@pytest.mark.slow
 def test_natgrad_step_lr1_lands_on_optimum(setup):
     # Gaussian likelihood + full batch: the ELBO is quadratic in the
     # expectation parameters, so ONE natural-gradient step with lr=1 from
