@@ -139,20 +139,60 @@ def update_chol(L11: jax.Array, C12: jax.Array, C22: jax.Array) -> jax.Array:
     return jnp.concatenate([top, bot], axis=0)
 
 
-def lowrank_update_chol(L: jax.Array, V: jax.Array) -> jax.Array:
-    """Rank-k Cholesky update: returns ``chol(L L' + V V')``.
+def lowrank_update_chol(L: jax.Array, V: jax.Array,
+                        block: int = 256) -> jax.Array:
+    """Rank-k Cholesky update: returns ``chol(L L' + V V')`` in O(m²k).
 
     Counterpart of the reference's ``lowrankupdate!`` loop over columns
-    (src/sparse_approximations.jl:109-111). Rather than the sequential
-    scalar-rotation algorithm (hostile to the MXU), we re-factorise the
-    explicitly assembled rank-updated matrix — O(m³) but one fused XLA
-    Cholesky, which on TPU is faster than m² dependent scalar steps for the
-    m ≲ few-thousand inducing-point regime this is used in.
+    (src/sparse_approximations.jl:109-111). The reference's sequential
+    scalar-rotation recurrence is O(m²k) but hostile to the MXU (m
+    dependent scalar steps); the TPU-native form is the blocked
+    **orthogonal panel-LQ** algorithm:
+
+    sweep column panels of width b. For panel i, an orthogonal
+    G_i ((b+k)×(b+k)) restores triangularity of the panel row-block:
+    ``[L_ii  V_i] G_i = [L̃_ii  0]`` (G_i = full Q of the QR of
+    ``[L_ii V_i]ᵀ``, sign-fixed); applying the SAME G_i to the rows below,
+    ``[L_below,i  V_below] G_i = [L̃_below,i  Ṽ_below]``, preserves the
+    row gram (G orthogonal) and leaves a rank-k carry Ṽ for the trailing
+    panels. Per panel: one small (b+k)×b QR + ONE trailing GEMM of shape
+    (m−r)×(b+k)×(b+k) — total ≈ m²(b+k)²/b FLOPs ≈ O(m²k) for b ≈ k, all
+    MXU work, numerically stable (orthogonal transformations only; no
+    hyperbolic rotations, which an update — unlike a downdate — never
+    needs).
+
+    For small problems (m ≤ b) this degenerates to a single QR, which is
+    still cheaper than assembling ``LLᵀ + VVᵀ`` and refactorising.
     """
     if V.ndim == 1:
         V = V[:, None]
-    A = L @ L.T + V @ V.T
-    return cholesky_lower(A)
+    m = L.shape[0]
+    k = V.shape[1]
+    b = min(block, m)
+    out_cols = []
+    Lcur, Vcur = L, V
+    for r0 in range(0, m, b):
+        bb = min(b, m - r0)
+        panel = jnp.concatenate(
+            [Lcur[:bb, r0:r0 + bb], Vcur[:bb]], axis=1
+        )  # (bb, bb+k) — rows r0.. of [L_panel V]
+        Q = jnp.linalg.qr(panel.T, mode="complete")[0]       # (bb+k, bb+k)
+        rot = panel @ Q                                      # (bb, bb+k)
+        # sign-fix so the new diagonal is positive
+        sgn = jnp.sign(jnp.diagonal(rot[:, :bb]))
+        sgn = jnp.where(sgn == 0, 1.0, sgn)
+        Q = Q * jnp.concatenate([sgn, jnp.ones((k,), L.dtype)])[None, :]
+        new_diag = panel @ Q                                 # (bb, bb+k)
+        below = jnp.concatenate(
+            [Lcur[bb:, r0:r0 + bb], Vcur[bb:]], axis=1
+        ) @ Q                                                # trailing GEMM
+        col = jnp.concatenate(
+            [jnp.tril(new_diag[:, :bb]), below[:, :bb]], axis=0
+        )
+        out_cols.append(jnp.pad(col, ((r0, 0), (0, 0))))
+        Lcur = Lcur[bb:]
+        Vcur = below[:, bb:]
+    return jnp.concatenate(out_cols, axis=1)
 
 
 # ---------------------------------------------------------------------------

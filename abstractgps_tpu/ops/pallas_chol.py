@@ -65,7 +65,188 @@ def should_use_pallas(A: jax.Array) -> bool:
 
 
 # ---------------------------------------------------------------------------
-# Diagonal-block factorization: one Pallas kernel, B rank-1 updates in VMEM.
+# Fused diagonal-block factorization + inverse: one Pallas kernel.
+# ---------------------------------------------------------------------------
+
+
+_GROUP = 8  # columns factored per M/W read-modify-write cycle
+
+
+def _chol_inv_block_body(a_ref, lt_ref, w_ref, m_scr):
+    """Factor one VMEM-resident SPD block AND invert its factor, in
+    B/_GROUP statically-unrolled group steps.
+
+    Writes ``lt_ref = Lᵀ`` (row j = column j of L — rows are the cheap
+    static-store dimension on TPU; the caller transposes once) and
+    ``w_ref = L⁻¹``.
+
+    Group formulation (replaces the round-2 per-column masked-reduction
+    kernel at 105 µs/block + the separate XLA ``_inv_lower`` at
+    69 µs/block — together ~90% of the factorization wall time): _GROUP
+    columns are produced per cycle from one static (R,B)/(B,R) row/column
+    read of the symmetric trailing matrix (in-group corrections are
+    (1,B)/(B,1) vector ops), and the trailing update is ONE (B,R)·(R,B)
+    MXU outer product with a single M read-modify-write — cutting the
+    dominant VMEM traffic R-fold vs per-column rank-1 updates. The
+    inverse accumulates in the same pass: with c_j = column j of L and
+    s = √pivot, L = Π_j(I + (c_j − e_j)e_jᵀ), so the group applies
+    W ← W − V·(rows of W), V_t = (c_t − e_t)/s_t, again one MXU outer
+    product + one W read-modify-write. Everything is statically unrolled
+    (j0 indices are Python constants), so Mosaic schedules across steps.
+
+    Non-PSD inputs propagate NaN via rsqrt of a negative pivot — the
+    library's failure-detection contract (SURVEY §5).
+    """
+    B = a_ref.shape[0]
+    R = _GROUP
+    HI = lax.Precision.HIGHEST
+
+    lane = lax.broadcasted_iota(jnp.int32, (1, B), 1)       # (1,B)
+    row_ids = lax.broadcasted_iota(jnp.int32, (B, 1), 0)    # (B,1)
+    eye = (row_ids == lane.reshape(1, B)).astype(a_ref.dtype)  # (B,B)
+
+    m_scr[:] = a_ref[:]
+    w_ref[:] = eye
+
+    for g in range(B // R):
+        j0 = g * R
+        G = m_scr[j0:j0 + R, :]          # (R,B) rows of current M
+        C = m_scr[:, j0:j0 + R]          # (B,R) cols (M symmetric)
+        crows, ccols, sinvs = [], [], []
+        for t in range(R):
+            gt = G[t:t + 1, :]
+            ct = C[:, t:t + 1]
+            for i in range(t):           # in-group corrections
+                coef = ccols[i][j0 + t, 0]
+                gt = gt - coef * crows[i]
+                ct = ct - coef * ccols[i]
+            piv = gt[0, j0 + t]
+            s_inv = lax.rsqrt(piv)
+            crows.append(jnp.where(lane >= j0 + t, gt * s_inv, 0.0))
+            ccols.append(jnp.where(row_ids >= j0 + t, ct * s_inv, 0.0))
+            sinvs.append(s_inv)
+        CrowM = jnp.concatenate(crows, axis=0)      # (R,B)
+        CcolM = jnp.concatenate(ccols, axis=1)      # (B,R)
+        lt_ref[j0:j0 + R, :] = CrowM
+        m_scr[:] = m_scr[:] - jnp.dot(CcolM, CrowM, precision=HI,
+                                      preferred_element_type=jnp.float32)
+        # inverse accumulation for the group
+        Wg = w_ref[j0:j0 + R, :]                    # (R,B)
+        wrows, vcols = [], []
+        for t in range(R):
+            onehot = (row_ids == (j0 + t)).astype(a_ref.dtype)
+            v = (ccols[t] - onehot) * sinvs[t]      # (B,1)
+            wt = Wg[t:t + 1, :]
+            for i in range(t):
+                wt = wt - vcols[i][j0 + t, 0] * wrows[i]
+            wrows.append(wt)
+            vcols.append(v)
+        WrowM = jnp.concatenate(wrows, axis=0)      # (R,B)
+        VM = jnp.concatenate(vcols, axis=1)         # (B,R)
+        w_ref[:] = w_ref[:] - jnp.dot(VM, WrowM, precision=HI,
+                                      preferred_element_type=jnp.float32)
+
+    # One Newton step W ← W(2I − L W) (two MXU matmuls): the elementary-
+    # factor accumulation above carries a small CORRELATED rounding bias
+    # (measured ~8e-3 relative on downstream variance gradients); the
+    # residual-driven correction removes it, leaving fresh ~eps rounding.
+    W = w_ref[:]
+    # (L W)[a,b] = Σ_i Lt[i,a] W[i,b] — contract Lt's sublane dim
+    Rm = lax.dot_general(lt_ref[:], W, (((0,), (0,)), ((), ())),
+                         precision=HI, preferred_element_type=jnp.float32)
+    corr = jnp.dot(W, Rm, precision=HI, preferred_element_type=jnp.float32)
+    lower = row_ids >= lane  # (B,B) keep the exact triangular structure
+    w_ref[:] = jnp.where(lower, 2.0 * W - corr, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _chol_inv_block(A: jax.Array, interpret: bool = False):
+    """``(Lᵀ, L⁻¹)`` of one (B, B) VMEM-resident SPD block."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = A.shape[0]
+    return pl.pallas_call(
+        _chol_inv_block_body,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, B), A.dtype),
+            jax.ShapeDtypeStruct((B, B), A.dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((B, B), A.dtype)],
+        interpret=interpret,
+    )(A)
+
+
+# ---------------------------------------------------------------------------
+# Triangular-inverse block kernel (same elementary-factor loop, L given).
+# ---------------------------------------------------------------------------
+
+
+def _tri_inv_block_body(l_ref, w_ref):
+    """``W = L⁻¹`` of one lower-triangular block (plain-lower layout).
+
+    Same accumulation as ``_chol_inv_block_body`` but reading the
+    elementary factors off an existing factor: L = Π_j (I + u_j e_jᵀ) with
+    u_j = l_j − e_j (cross terms vanish by triangularity), so
+    W ← W − (u_j/l_jj)(e_jᵀW) for j = 0..B−1 yields L⁻¹. Column l_j comes
+    from one MXU contraction against a one-hot vector — no lane-dynamic
+    extraction. Used by the logpdf backward pass to invert the cached
+    diagonal blocks without the XLA triangular-solve expander
+    (69 µs/block → one fused VMEM loop).
+    """
+    B = l_ref.shape[0]
+    import jax.experimental.pallas as pl
+
+    lane = lax.broadcasted_iota(jnp.int32, (1, B), 1)
+    row_ids = lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+    eye = (row_ids == lane.reshape(1, B)).astype(l_ref.dtype)
+    w_ref[:] = eye
+
+    def step(j, _):
+        onehot = jnp.where(row_ids == j, 1.0, 0.0)          # (B,1)
+        col = jnp.dot(l_ref[:], onehot, precision=lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)   # l_j  (B,1)
+        ljj = jnp.sum(jnp.where(row_ids == j, col, 0.0))
+        u = (col - onehot) / ljj                            # (l_j − e_j)/l_jj
+        wrow = w_ref[pl.ds(j, 1), :]
+        w_ref[:] = w_ref[:] - u * wrow
+        return 0
+
+    lax.fori_loop(0, B, step, 0)
+
+    # Newton step W ← W(2I − L W): removes the accumulation's correlated
+    # rounding bias (see _chol_inv_block_body).
+    W = w_ref[:]
+    R = jnp.dot(l_ref[:], W, precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+    corr = jnp.dot(W, R, precision=lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
+    w_ref[:] = jnp.where(row_ids >= lane, 2.0 * W - corr, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _tri_inv_block(L: jax.Array, interpret: bool = False) -> jax.Array:
+    """Inverse of a lower-triangular (B, B) block (plain-lower in/out)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = L.shape[0]
+    return pl.pallas_call(
+        _tri_inv_block_body,
+        out_shape=jax.ShapeDtypeStruct((B, B), L.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(L)
+
+
+# ---------------------------------------------------------------------------
+# Legacy diagonal-block factorization (kept for the sharded slab sweep).
 # ---------------------------------------------------------------------------
 
 
@@ -141,43 +322,79 @@ def _mm(a, b):
 # ---------------------------------------------------------------------------
 
 
-def _left_looking_sweep(npad: int, block: int, panel_fn, dtype) -> jax.Array:
-    """The single left-looking factorization driver behind both the
+_OUTER = 1024  # outer panel width for the two-level sweep
+
+
+def _left_looking_sweep(npad: int, block: int, panel_fn, dtype, rhs=None):
+    """Two-level left-looking factorization driver behind both the
     read-from-A and build-from-kernel sweeps.
 
-    Right-looking rewrites the whole trailing matrix every panel —
-    O(N³/B) words of HBM traffic (≈5.7 GB at N=8192, B=256). Left-looking
-    instead updates each panel once against the already-computed columns:
+    Level 1 (outer, width ``_OUTER``): each outer slab is updated against
+    all finished columns with ONE fat GEMM — output 1024 wide, contraction
+    r0 deep, full MXU efficiency, and total strided-slice traffic over L of
+    only ~N³/(6·1024) words (≈360 MB at N=8192) instead of the
+    ~N³/(6·128) ≈ 2.9 GB (plus equal-size slice copies) that a flat
+    128-panel sweep re-reads — measured to dominate the round-2 sweep.
 
-        P_k  = panel_fn(k) − L[kB:, :kB] · L[kB:(k+1)B, :kB]ᵀ
-        L_kk = chol(P_k top block)          (Pallas VMEM kernel)
-        L_21 = P_k rest · L_kk⁻ᵀ            (GEMM)
+    Level 2 (inner, width ``block``): the classic left-looking sweep runs
+    INSIDE the (rows × W) slab: inner update GEMMs read only slab slices,
+    the diagonal block factors+inverts in the fused Pallas kernel
+    (``_chol_inv_block``), and the panel TRSM is the W-GEMM
+    ``P · (L_kk⁻¹)ᵀ``.
 
-    Total traffic ≈ N³/(6B) words and every GEMM has a fat contraction
-    dimension kB — MXU-efficient — at identical FLOP count. The L buffer is
-    updated with .at[].set panel writes, which XLA elides to in-place.
+    ``panel_fn(r0, w)`` returns the (npad − r0, w) lower gram slab starting
+    at diagonal offset r0. The Python loops are statically unrolled
+    (npad/block inner iterations total — same trace size as the flat
+    sweep); beyond ~16k rows use the sharded ``_factorize_slab`` sweep.
 
-    ``panel_fn(k, r0)`` returns the (npad − r0, block) lower panel of the
-    (pre-padded) SPD matrix. The Python loop is statically unrolled, so
-    trace/compile size grows with nb = npad/block — fine to ~16k rows
-    (~128 panels); beyond that use the sharded ``_factorize_slab`` sweep,
-    whose ``lax.fori_loop`` is O(1)-compile at ~2× the triangular FLOPs.
+    ``rhs`` (optional, (npad, q)): the forward substitution ``Z = L⁻¹ rhs``
+    rides the sweep — each panel's ``z_k = L_kk⁻¹(…)`` reuses the Pallas
+    inverse and the propagation re-reads the just-written panel column
+    once (~0.2 ms at N=8192) — replacing the post-hoc XLA single-RHS
+    triangular solve, whose InvertDiagonalBlocks expansion was measured at
+    ~1.3 ms/eval. Returns ``(L, Z)`` in that case.
+
+    All buffer writes are ``lax.dynamic_update_slice`` — XLA lowers DUS
+    in-place, where the equivalent ``.at[].set`` was observed to lower to
+    pad+select fusions re-materialising the full N×N buffer every outer
+    panel (~1.3 ms/eval).
     """
-    nb = npad // block
+    dus = lax.dynamic_update_slice
     L = jnp.zeros((npad, npad), dtype)
-    for k in range(nb):
-        r0 = k * block
-        P = panel_fn(k, r0)
-        if k:
-            # subtract contributions of finished columns (one fat GEMM)
-            P = P - _mm(L[r0:, :r0], L[r0:r0 + block, :r0].T)
-        Lkk = _chol_block(P[:block], interpret=_INTERPRET)
-        if r0 + block < npad:
-            L21 = _mm(P[block:], _inv_lower(Lkk).T)   # (rest, B) GEMM
-            col = jnp.concatenate([Lkk, L21], axis=0)
-        else:
-            col = Lkk
-        L = L.at[r0:, r0:r0 + block].set(col)
+    R = rhs
+    zs = []
+    r0 = 0
+    while r0 < npad:
+        w = min(_OUTER, npad - r0)
+        S = panel_fn(r0, w)  # (npad - r0, w)
+        if r0:
+            # one fat GEMM against all finished columns
+            S = S - _mm(L[r0:, :r0], L[r0:r0 + w, :r0].T)
+        rows = npad - r0
+        Sf = jnp.zeros((rows, w), dtype)
+        for rr in range(0, w, block):
+            P = S[rr:, rr:rr + block]
+            if rr:
+                P = P - _mm(Sf[rr:, :rr], Sf[rr:rr + block, :rr].T)
+            Lt, W = _chol_inv_block(P[:block], interpret=_INTERPRET)
+            Lkk = Lt.T
+            if rr + block < rows:
+                L21 = _mm(P[block:], W.T)             # (rest, B) GEMM
+                col = jnp.concatenate([Lkk, L21], axis=0)
+            else:
+                col = Lkk
+            Sf = dus(Sf, col, (rr, rr))
+            if R is not None:
+                g0 = r0 + rr
+                z_k = _mm(W, R[g0:g0 + block])        # L_kk⁻¹ · rhs panel
+                zs.append(z_k)
+                if g0 + block < npad:
+                    R = dus(R, R[g0 + block:] - _mm(col[block:], z_k),
+                            (g0 + block, 0))
+        L = dus(L, Sf, (r0, r0))
+        r0 += w
+    if rhs is not None:
+        return L, jnp.concatenate(zs, axis=0)
     return L
 
 
@@ -194,7 +411,7 @@ def _blocked_cholesky_impl(A: jax.Array, block: int) -> jax.Array:
     np_ = n + pad
 
     L = _left_looking_sweep(
-        np_, block, lambda k, r0: A[r0:, r0:r0 + block], A.dtype
+        np_, block, lambda r0, w: A[r0:, r0:r0 + w], A.dtype
     )
     return L[:n, :n] if pad else L
 
@@ -259,12 +476,13 @@ def _peel_transforms(kernel, x):
     return kernel, x
 
 
-def _cholesky_gram_impl(kernel, x, noise_diag, block):
+def _cholesky_gram_impl(kernel, x, noise_diag, block, rhs=None):
     """Left-looking sweep whose panels are BUILT, not read: panel k is
     ``k(x[kB:], x[kB:(k+1)B]) + diag-noise block``, so the N×N gram matrix
     never exists in HBM (peak memory = L + one panel, vs 2·N² for
     build-then-factorize). Total gram FLOPs are unchanged — they just run
-    panel-by-panel ahead of each TRSM."""
+    panel-by-panel ahead of each TRSM. With ``rhs`` (n, q), the forward
+    substitution rides the sweep and ``(L, L⁻¹rhs)`` is returned."""
     kernel, x = _peel_transforms(kernel, x)
     n = x.shape[0]
     pad = (-n) % block
@@ -272,12 +490,14 @@ def _cholesky_gram_impl(kernel, x, noise_diag, block):
     if pad:
         x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
         noise_diag = jnp.pad(noise_diag, (0, pad))
+        if rhs is not None:
+            rhs = jnp.pad(rhs, ((0, pad), (0, 0)))
 
-    def panel_fn(k, r0):
-        xb = x[r0:r0 + block]
-        P = kernel.cross(x[r0:], xb).astype(jnp.float32)  # (npad-r0, B)
+    def panel_fn(r0, w):
+        xb = x[r0:r0 + w]
+        P = kernel.cross(x[r0:], xb).astype(jnp.float32)  # (npad-r0, w)
         rows = r0 + jnp.arange(npad - r0, dtype=jnp.int32)[:, None]
-        cols = r0 + jnp.arange(block, dtype=jnp.int32)[None, :]
+        cols = r0 + jnp.arange(w, dtype=jnp.int32)[None, :]
         on_diag = rows == cols
         P = P + jnp.where(on_diag, noise_diag[r0:, None], 0.0)
         if pad:
@@ -286,6 +506,10 @@ def _cholesky_gram_impl(kernel, x, noise_diag, block):
             P = jnp.where(is_pad, jnp.where(on_diag, 1.0, 0.0), P)
         return P
 
+    if rhs is not None:
+        L, Z = _left_looking_sweep(npad, block, panel_fn, jnp.float32,
+                                   rhs=rhs)
+        return (L[:n, :n], Z[:n]) if pad else (L, Z)
     L = _left_looking_sweep(npad, block, panel_fn, jnp.float32)
     return L[:n, :n] if pad else L
 
@@ -337,28 +561,100 @@ cholesky_gram.defvjp(_cholesky_gram_fwd, _cholesky_gram_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _inv_lower_blocked(L: jax.Array, block: int) -> jax.Array:
-    """``W = L⁻¹`` (lower triangular) by row-panel forward substitution.
+def _pallas_diag_inv(Lii: jax.Array) -> jax.Array:
+    """Diagonal-block triangular inverse: the Pallas VMEM kernel on the
+    production path, the XLA expander otherwise (CPU f64 oracles)."""
+    if (_INTERPRET or jax.default_backend() == "tpu") and Lii.dtype == jnp.float32:
+        return _tri_inv_block(Lii, interpret=_INTERPRET)
+    return _inv_lower(Lii)
 
-    One fat GEMM per panel: ``W[i] = L_ii⁻¹ (E_i − L[i, :iB] W[:iB, :iB])``,
-    where the product is restricted to W's nonzero columns — ~2N³/3 FLOPs
-    (the dense-RHS TRSM would be N³) and nb GEMMs total (compile-friendly).
-    Assumes N divisible by ``block`` (callers pad).
+
+def _batched_diag_inv(L: jax.Array, block: int) -> jax.Array:
+    """(nb, B, B) inverses of L's diagonal blocks — ONE vmapped Pallas
+    launch (grid-batched) on the production path."""
+    n = L.shape[-1]
+    nb = n // block
+    blocks = L.reshape(nb, block, nb, block)[
+        jnp.arange(nb), :, jnp.arange(nb), :
+    ]  # (nb, B, B)
+    if (_INTERPRET or jax.default_backend() == "tpu") and L.dtype == jnp.float32:
+        return jax.vmap(lambda b: _tri_inv_block(b, interpret=_INTERPRET))(
+            blocks
+        )
+    return jax.vmap(_inv_lower)(blocks)
+
+
+def _inv_lower_blocked(L: jax.Array, block: int) -> jax.Array:
+    """``W = L⁻¹`` (lower triangular) by doubling merges.
+
+    Diagonal blocks invert in one batched Pallas launch; then log2(nb)
+    merge levels assemble growing triangles:
+    ``W = [[W11, 0], [−W22·L21·W11, W22]]`` — two GEMMs per pair, fat at
+    the late levels. Total ~2N³/3 GEMM FLOPs like the row-panel forward
+    substitution this replaces, but strided-slice traffic drops from
+    Σ r0² ≈ N³/(3B) words (~5.7 GB at N=8192 — measured to dominate the
+    backward) to Σ_levels 3N·s ≈ 0.8 GB. Requires N a power-of-two
+    multiple of ``block`` after padding (callers pad to _BLOCK; the sweep
+    pads to 128-multiples — non-power-of-two multiples fall back to the
+    row-panel scheme).
     """
+    n = L.shape[-1]
+    nb = n // block
+    if nb & (nb - 1):  # not a power of two → row-panel fallback
+        return _inv_lower_blocked_rowpanel(L, block)
+    Winv = _batched_diag_inv(L, block)  # (nb, B, B)
+    W = jnp.zeros((n, n), L.dtype)
+    for i in range(nb):
+        W = lax.dynamic_update_slice(W, Winv[i], (i * block, i * block))
+    s = block
+    while s < n:
+        for base in range(0, n, 2 * s):
+            W11 = W[base:base + s, base:base + s]
+            W22 = W[base + s:base + 2 * s, base + s:base + 2 * s]
+            L21 = L[base + s:base + 2 * s, base:base + s]
+            W21 = -_mm(W22, _mm(L21, W11))
+            W = lax.dynamic_update_slice(W, W21, (base + s, base))
+        s *= 2
+    return W
+
+
+def _inv_lower_blocked_rowpanel(L: jax.Array, block: int) -> jax.Array:
+    """Row-panel forward-substitution trtri (non-power-of-two fallback)."""
     n = L.shape[-1]
     nb = n // block
     W = jnp.zeros((n, n), L.dtype)
     for i in range(nb):
         r0 = i * block
-        Lii_inv = _inv_lower(L[r0:r0 + block, r0:r0 + block])
+        Lii_inv = _pallas_diag_inv(L[r0:r0 + block, r0:r0 + block])
         if i == 0:
-            Wi = Lii_inv
-            W = W.at[:block, :block].set(Wi)
+            W = lax.dynamic_update_slice(W, Lii_inv, (0, 0))
             continue
         rhs = -_mm(L[r0:r0 + block, :r0], W[:r0, :r0])  # (B, r0)
-        Wi = jnp.concatenate([_mm(Lii_inv, rhs), Lii_inv], axis=1)  # (B, r0+B)
-        W = W.at[r0:r0 + block, :r0 + block].set(Wi)
+        Wi = jnp.concatenate([_mm(Lii_inv, rhs), Lii_inv], axis=1)
+        W = lax.dynamic_update_slice(W, Wi, (r0, 0))
     return W
+
+
+def _spd_inv_from_chol(L: jax.Array, block: int) -> jax.Array:
+    """``K⁻¹ = L⁻ᵀL⁻¹`` via doubling trtri + triangularity-aware lauum.
+
+    The lauum stage computes only the lower-triangular column panels
+    ``(WᵀW)[r0:, r0:r0+P] = W[r0:, r0:]ᵀ W[r0:, r0:r0+P]`` (W's leading
+    zero rows drop out) at OUTER panel width (1024), then symmetrises —
+    ~2N³/3 GEMM FLOPs instead of the 2N³ dense ``WᵀW`` this replaces
+    (the round-2 backward's dominant term; LAPACK ``dpotri`` structure),
+    and ~8 strided reads of W instead of 64. Assumes N divisible by
+    ``block``.
+    """
+    n = L.shape[-1]
+    W = _inv_lower_blocked(L, block)
+    pw = _OUTER if n % _OUTER == 0 else block
+    T = jnp.zeros((n, n), L.dtype)
+    for r0 in range(0, n, pw):
+        panel = _mm(W[r0:, r0:].T, W[r0:, r0:r0 + pw])  # (n−r0, P)
+        T = lax.dynamic_update_slice(T, panel, (r0, r0))
+    T = jnp.tril(T)
+    return T + T.T - jnp.diag(jnp.diagonal(T))
 
 
 @jax.custom_vjp
@@ -376,8 +672,20 @@ def gram_logpdf_core(kernel, x, noise_diag, delta):
 
     ``delta`` is (n,) or (n, q); returns a scalar or (q,).
     """
-    L = cholesky_gram(kernel, x, noise_diag)
-    return _logpdf_from_chol(L, delta)
+    out, _, _ = _fused_logpdf(kernel, x, noise_diag, delta)
+    return out
+
+
+def _fused_logpdf(kernel, x, noise_diag, delta):
+    """(logpdf, L, z) with the whitening solve riding the sweep."""
+    vec = delta.ndim == 1
+    D = delta[:, None] if vec else delta
+    L, z = _cholesky_gram_impl(kernel, x, noise_diag, _BLOCK, rhs=D)
+    n = L.shape[0]
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    quad = jnp.sum(jnp.square(z), axis=0)
+    out = -0.5 * (n * math.log(2.0 * math.pi) + logdet + quad)
+    return (out[0] if vec else out), L, z
 
 
 def _logpdf_from_chol(L, delta):
@@ -397,8 +705,7 @@ def _logpdf_and_z_from_chol(L, delta):
 
 
 def _gram_logpdf_fwd(kernel, x, noise_diag, delta):
-    L = cholesky_gram(kernel, x, noise_diag)
-    out, z = _logpdf_and_z_from_chol(L, delta)
+    out, L, z = _fused_logpdf(kernel, x, noise_diag, delta)
     vec = delta.ndim == 1
     alpha = lax.linalg.triangular_solve(
         L, z, left_side=True, lower=True, transpose_a=True
@@ -416,8 +723,7 @@ def _gram_logpdf_bwd(res, gbar):
         Lp = jnp.pad(L, ((0, pad), (0, pad))) + jnp.diag(jnp.concatenate(
             [jnp.zeros((n,), L.dtype), jnp.ones((pad,), L.dtype)]
         ))
-    W = _inv_lower_blocked(Lp, _BLOCK)[:n, :n]
-    Kinv = _mm(W.T, W)
+    Kinv = _spd_inv_from_chol(Lp, _BLOCK)[:n, :n]
     gsum = jnp.sum(g)
     # Ā = ½ Σ_j ḡ_j α_j α_jᵀ − ½ (Σ ḡ) K⁻¹
     Abar = 0.5 * (_mm(alpha * g[None, :], alpha.T) - gsum * Kinv)

@@ -1,6 +1,17 @@
-"""Driver benchmark: log-marginal-likelihood evals/s at N=8192 (Cholesky-bound).
+"""Driver benchmark: the BASELINE.md metric pair on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line with the driver contract fields
+(``metric``/``value``/``unit``/``vs_baseline`` — log-marginal-likelihood
+evals/s at N=8192, Cholesky-bound) plus the round-3 additions folded into
+the same object:
+
+- ``grad_evals_per_s``  — ∇θ logpdf evals/s (the §3.5 hot loop: every
+  leapfrog/optimizer step re-enters logpdf under AD);
+- ``nuts_samples_per_s_chip`` — the second driver metric: latent-Poisson
+  NUTS (BASELINE config 4 shape: u ~ f(X) + Poisson counts, 64 vmapped
+  chains), total kept draws per second on one chip;
+- ``tflops`` / ``pct_f32_roof`` — achieved FLOP/s of the forward eval
+  against the 49 TFLOP/s f32-exact v5e roof (utils/profiling.py).
 
 Ours: the whole eval loop runs inside ONE jitted ``lax.scan`` — the
 TPU-native pattern (under MCMC/VI the logpdf re-enters *inside* the
@@ -8,11 +19,11 @@ compiled sampler), so per-dispatch host↔device overhead is amortised away.
 
 Baseline (the reference publishes no numbers; BASELINE.json "published" is
 {}): a straight port of the reference's §3.1 stack (pairwise gram via the
-same BLAS expansion KernelFunctions uses, Cholesky, cho_solve) *used the
-way the reference is used* — one host dispatch per logpdf eval, as Julia
-calls LAPACK per call. Same device, same math; the ratio measures the
-framework design (fusion + loop-in-compiled-program), not cherry-picked
-kernels.
+same BLAS expansion KernelFunctions uses, XLA Cholesky, triangular solve)
+*used the way the reference is used* — one host dispatch per logpdf eval,
+as Julia calls LAPACK per call. Same device, same math; the ratio measures
+the framework design (fusion + loop-in-compiled-program), not
+cherry-picked kernels.
 """
 
 import json
@@ -21,7 +32,7 @@ import time
 import numpy as np
 
 N, D = 8192, 8
-K_EVALS = 16        # scan length for our batched path
+K_EVALS = 16        # scan length for our batched paths
 K_DISPATCH = 8      # host dispatches for the baseline path
 
 
@@ -34,6 +45,11 @@ def main():
     import jax.numpy as jnp
 
     import abstractgps_tpu as agp
+    from abstractgps_tpu.utils.profiling import (
+        TPU_V5E_PEAK_F32,
+        cholesky_flops,
+        gram_flops,
+    )
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(size=(N, D)), dtype=jnp.float32)
@@ -55,6 +71,15 @@ def main():
             return carry + ours(theta, x, y), None
 
         total, _ = jax.lax.scan(body, jnp.float32(0.0), thetas)
+        return total
+
+    @jax.jit
+    def grads_batched(x, y, thetas):
+        def body(carry, theta):
+            g = jax.grad(ours)(theta, x, y)
+            return carry + g[0] + g[1], None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), thetas[:8])
         return total
 
     @jax.jit
@@ -84,6 +109,15 @@ def main():
         float(ours_batched(x, y, thetas))
         t_ours = min(t_ours, (time.perf_counter() - t0) / K_EVALS)
 
+    # ---- grad of logpdf (the MCMC/MLE hot loop) ----------------------------
+    warm_g = float(grads_batched(x, y, thetas))
+    assert np.isfinite(warm_g), f"non-finite grad sum: {warm_g}"
+    t_grad = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(grads_batched(x, y, thetas))
+        t_grad = min(t_grad, (time.perf_counter() - t0) / 8)
+
     # ---- baseline: one dispatch per logpdf (reference usage pattern) -------
     float(naive_once(thetas[0], x, y))  # compile + warmup
     t_naive = float("inf")
@@ -93,6 +127,49 @@ def main():
             float(naive_once(thetas[i], x, y))
         t_naive = min(t_naive, (time.perf_counter() - t0) / K_DISPATCH)
 
+    # ---- NUTS samples/s/chip: latent-Poisson, 64 vmapped chains ------------
+    from abstractgps_tpu.inference.mcmc import init_chain_positions, run_mcmc
+
+    n_lat, n_chains, n_draws, n_warm = 256, 64, 64, 64
+    xl_h = rng.uniform(size=(n_lat, 1))
+    # host-side f64 data generation (the f32 chol of a near-singular gram
+    # is exactly the failure mode the library handles by NaN-rejection —
+    # not what we want in the data generator)
+    from scipy.spatial.distance import cdist
+
+    d_h = cdist(xl_h, xl_h)
+    t_h = np.sqrt(3.0) * d_h
+    Kl_h = (1.0 + t_h) * np.exp(-t_h) + 1e-8 * np.eye(n_lat)
+    Ll_h = np.linalg.cholesky(Kl_h)
+    u_h = 2.0 + Ll_h @ rng.normal(size=n_lat)
+    y_lat = jnp.asarray(rng.poisson(np.exp(np.clip(u_h, -10, 8))),
+                        dtype=jnp.float32)
+    Ll = jnp.asarray(Ll_h, dtype=jnp.float32)
+
+    def logjoint(v):
+        u = 2.0 + Ll @ v
+        return (-0.5 * jnp.sum(v * v)
+                + jnp.sum(y_lat * u - jnp.exp(u) - jax.lax.lgamma(y_lat + 1.0)))
+
+    init = init_chain_positions(
+        jax.random.PRNGKey(0), jnp.zeros((n_lat,), jnp.float32),
+        num_chains=n_chains, jitter=0.1,
+    )
+
+    def run_nuts():
+        return run_mcmc(logjoint, init, jax.random.PRNGKey(1),
+                        num_chains=n_chains, num_samples=n_draws,
+                        num_warmup=n_warm, max_depth=8)
+
+    res = run_nuts()
+    jax.block_until_ready(res.positions)   # compile + warmup
+    t0 = time.perf_counter()
+    res = run_nuts()
+    jax.block_until_ready(res.positions)
+    t_nuts = time.perf_counter() - t0
+    nuts_rate = n_chains * n_draws / t_nuts
+
+    flops_fwd = cholesky_flops(N) + gram_flops(N, N, D)
     print(
         json.dumps(
             {
@@ -100,6 +177,11 @@ def main():
                 "value": round(1.0 / t_ours, 3),
                 "unit": "evals/s",
                 "vs_baseline": round(t_naive / t_ours, 3),
+                "grad_evals_per_s": round(1.0 / t_grad, 3),
+                "nuts_samples_per_s_chip": round(nuts_rate, 1),
+                "nuts_config": f"latent-poisson n={n_lat} chains={n_chains} depth<=8",
+                "tflops": round(flops_fwd / t_ours / 1e12, 2),
+                "pct_f32_roof": round(100 * flops_fwd / t_ours / TPU_V5E_PEAK_F32, 1),
             }
         )
     )
