@@ -112,7 +112,7 @@ def _chol_inv_block_body(a_ref, lt_ref, w_ref, m_scr):
         j0 = g * R
         G = m_scr[j0:j0 + R, :]          # (R,B) rows of current M
         C = m_scr[:, j0:j0 + R]          # (B,R) cols (M symmetric)
-        crows, ccols, sinvs = [], [], []
+        crows, ccols = [], []
         for t in range(R):
             gt = G[t:t + 1, :]
             ct = C[:, t:t + 1]
@@ -124,18 +124,24 @@ def _chol_inv_block_body(a_ref, lt_ref, w_ref, m_scr):
             s_inv = lax.rsqrt(piv)
             crows.append(jnp.where(lane >= j0 + t, gt * s_inv, 0.0))
             ccols.append(jnp.where(row_ids >= j0 + t, ct * s_inv, 0.0))
-            sinvs.append(s_inv)
         CrowM = jnp.concatenate(crows, axis=0)      # (R,B)
         CcolM = jnp.concatenate(ccols, axis=1)      # (B,R)
         lt_ref[j0:j0 + R, :] = CrowM
         m_scr[:] = m_scr[:] - jnp.dot(CcolM, CrowM, precision=HI,
                                       preferred_element_type=jnp.float32)
-        # inverse accumulation for the group
+        # inverse accumulation for the group: with c_j = column j of L and
+        # s = √pivot, L = Π_j(I + (c_j − e_j)e_jᵀ), so the group applies
+        # W ← W − V·(rows of W), V_t = (c_t − e_t)·s_inv_t — one MXU outer
+        # product + one W read-modify-write. (A 7-step Newton-from-diagonal
+        # alternative — pure MXU — measured SLOWER in context: 9.10 vs
+        # 8.90 ms/eval at N=8192.)
         Wg = w_ref[j0:j0 + R, :]                    # (R,B)
         wrows, vcols = [], []
         for t in range(R):
             onehot = (row_ids == (j0 + t)).astype(a_ref.dtype)
-            v = (ccols[t] - onehot) * sinvs[t]      # (B,1)
+            ct = ccols[t]
+            ltt = jnp.sum(jnp.where(row_ids == (j0 + t), ct, 0.0))
+            v = (ct - onehot) / ltt                 # (c_t − e_t)/l_tt
             wt = Wg[t:t + 1, :]
             for i in range(t):
                 wt = wt - vcols[i][j0 + t, 0] * wrows[i]
@@ -200,33 +206,24 @@ def _tri_inv_block_body(l_ref, w_ref):
     (69 µs/block → one fused VMEM loop).
     """
     B = l_ref.shape[0]
-    import jax.experimental.pallas as pl
+    HI = lax.Precision.HIGHEST
 
     lane = lax.broadcasted_iota(jnp.int32, (1, B), 1)
     row_ids = lax.broadcasted_iota(jnp.int32, (B, 1), 0)
     eye = (row_ids == lane.reshape(1, B)).astype(l_ref.dtype)
-    w_ref[:] = eye
+    lower = row_ids >= lane
 
-    def step(j, _):
-        onehot = jnp.where(row_ids == j, 1.0, 0.0)          # (B,1)
-        col = jnp.dot(l_ref[:], onehot, precision=lax.Precision.HIGHEST,
-                      preferred_element_type=jnp.float32)   # l_j  (B,1)
-        ljj = jnp.sum(jnp.where(row_ids == j, col, 0.0))
-        u = (col - onehot) / ljj                            # (l_j − e_j)/l_jj
-        wrow = w_ref[pl.ds(j, 1), :]
-        w_ref[:] = w_ref[:] - u * wrow
-        return 0
-
-    lax.fori_loop(0, B, step, 0)
-
-    # Newton step W ← W(2I − L W): removes the accumulation's correlated
-    # rounding bias (see _chol_inv_block_body).
-    W = w_ref[:]
-    R = jnp.dot(l_ref[:], W, precision=lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
-    corr = jnp.dot(W, R, precision=lax.Precision.HIGHEST,
-                   preferred_element_type=jnp.float32)
-    w_ref[:] = jnp.where(row_ids >= lane, 2.0 * W - corr, 0.0)
+    # Newton from the exact inverse diagonal: 7 steps are exact for a
+    # B ≤ 128 triangular factor (see _chol_inv_block_body) — all MXU.
+    diag_row = jnp.sum(jnp.where(eye > 0, l_ref[:], 0.0),
+                       axis=0, keepdims=True)
+    W = jnp.where(eye > 0, 1.0 / diag_row, 0.0)
+    for _ in range(7):
+        Rm = jnp.dot(l_ref[:], W, precision=HI,
+                     preferred_element_type=jnp.float32)
+        W = jnp.where(lower, 2.0 * W - jnp.dot(
+            W, Rm, precision=HI, preferred_element_type=jnp.float32), 0.0)
+    w_ref[:] = W
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -359,17 +356,33 @@ def _left_looking_sweep(npad: int, block: int, panel_fn, dtype, rhs=None):
     pad+select fusions re-materialising the full N×N buffer every outer
     panel (~1.3 ms/eval).
     """
+    slabs, zs = _sweep_slabs(npad, block, panel_fn, dtype, rhs)
+    L = _assemble_slabs(npad, slabs, dtype)
+    if rhs is not None:
+        return L, jnp.concatenate(zs, axis=0)
+    return L
+
+
+def _sweep_slabs(npad: int, block: int, panel_fn, dtype, rhs=None):
+    """The two-level sweep, returning the factored outer slabs as a LIST
+    ``[(r0_j, Sf_j)]`` (Sf_j is (npad − r0_j, w_j)) instead of an
+    assembled N×N factor — the logpdf path reads logdet and the carried
+    solve straight off the slabs and never materialises L (the N×N
+    assembly + strided re-reads measured ~0.9 ms/eval). The outer update
+    against finished columns becomes one fat GEMM PER FINISHED SLAB
+    (identical FLOPs, contraction width w_j each, contiguous row slices —
+    no strided-slice copies of a big L)."""
     dus = lax.dynamic_update_slice
-    L = jnp.zeros((npad, npad), dtype)
+    slabs = []  # (r0_j, Sf_j)
     R = rhs
     zs = []
     r0 = 0
     while r0 < npad:
         w = min(_OUTER, npad - r0)
         S = panel_fn(r0, w)  # (npad - r0, w)
-        if r0:
-            # one fat GEMM against all finished columns
-            S = S - _mm(L[r0:, :r0], L[r0:r0 + w, :r0].T)
+        for b_j, Sf_j in slabs:
+            o = r0 - b_j
+            S = S - _mm(Sf_j[o:], Sf_j[o:o + w].T)
         rows = npad - r0
         Sf = jnp.zeros((rows, w), dtype)
         for rr in range(0, w, block):
@@ -391,11 +404,26 @@ def _left_looking_sweep(npad: int, block: int, panel_fn, dtype, rhs=None):
                 if g0 + block < npad:
                     R = dus(R, R[g0 + block:] - _mm(col[block:], z_k),
                             (g0 + block, 0))
-        L = dus(L, Sf, (r0, r0))
+        slabs.append((r0, Sf))
         r0 += w
-    if rhs is not None:
-        return L, jnp.concatenate(zs, axis=0)
+    return slabs, zs
+
+
+def _assemble_slabs(npad: int, slabs, dtype) -> jax.Array:
+    """Materialise the N×N lower factor from the slab list."""
+    L = jnp.zeros((npad, npad), dtype)
+    for r0, Sf in slabs:
+        L = lax.dynamic_update_slice(L, Sf, (r0, r0))
     return L
+
+
+def _slabs_logdet(slabs) -> jax.Array:
+    """Σ log diag(L) read directly off the slab diagonals."""
+    out = 0.0
+    for _, Sf in slabs:
+        w = Sf.shape[1]
+        out = out + jnp.sum(jnp.log(jnp.diagonal(Sf[:w])))
+    return out
 
 
 def _blocked_cholesky_impl(A: jax.Array, block: int) -> jax.Array:
@@ -476,13 +504,10 @@ def _peel_transforms(kernel, x):
     return kernel, x
 
 
-def _cholesky_gram_impl(kernel, x, noise_diag, block, rhs=None):
-    """Left-looking sweep whose panels are BUILT, not read: panel k is
-    ``k(x[kB:], x[kB:(k+1)B]) + diag-noise block``, so the N×N gram matrix
-    never exists in HBM (peak memory = L + one panel, vs 2·N² for
-    build-then-factorize). Total gram FLOPs are unchanged — they just run
-    panel-by-panel ahead of each TRSM. With ``rhs`` (n, q), the forward
-    substitution rides the sweep and ``(L, L⁻¹rhs)`` is returned."""
+def _gram_sweep_slabs(kernel, x, noise_diag, block, rhs=None):
+    """Factored slabs of ``chol(K(x,x)+diag(noise))`` with the gram panels
+    BUILT inside the sweep (K never exists in HBM). Returns
+    ``(slabs, zs, n, npad)``."""
     kernel, x = _peel_transforms(kernel, x)
     n = x.shape[0]
     pad = (-n) % block
@@ -506,12 +531,23 @@ def _cholesky_gram_impl(kernel, x, noise_diag, block, rhs=None):
             P = jnp.where(is_pad, jnp.where(on_diag, 1.0, 0.0), P)
         return P
 
+    slabs, zs = _sweep_slabs(npad, block, panel_fn, jnp.float32, rhs)
+    return slabs, zs, n, npad
+
+
+def _cholesky_gram_impl(kernel, x, noise_diag, block, rhs=None):
+    """Left-looking sweep whose panels are BUILT, not read: panel k is
+    ``k(x[kB:], x[kB:(k+1)B]) + diag-noise block``, so the N×N gram matrix
+    never exists in HBM (peak memory = L + one panel, vs 2·N² for
+    build-then-factorize). Total gram FLOPs are unchanged — they just run
+    panel-by-panel ahead of each TRSM. With ``rhs`` (n, q), the forward
+    substitution rides the sweep and ``(L, L⁻¹rhs)`` is returned."""
+    slabs, zs, n, npad = _gram_sweep_slabs(kernel, x, noise_diag, block, rhs)
+    L = _assemble_slabs(npad, slabs, jnp.float32)
     if rhs is not None:
-        L, Z = _left_looking_sweep(npad, block, panel_fn, jnp.float32,
-                                   rhs=rhs)
-        return (L[:n, :n], Z[:n]) if pad else (L, Z)
-    L = _left_looking_sweep(npad, block, panel_fn, jnp.float32)
-    return L[:n, :n] if pad else L
+        Z = jnp.concatenate(zs, axis=0)
+        return (L[:n, :n], Z[:n]) if npad != n else (L, Z)
+    return L[:n, :n] if npad != n else L
 
 
 def _build_gram(kernel, x, noise_diag):
@@ -672,20 +708,24 @@ def gram_logpdf_core(kernel, x, noise_diag, delta):
 
     ``delta`` is (n,) or (n, q); returns a scalar or (q,).
     """
-    out, _, _ = _fused_logpdf(kernel, x, noise_diag, delta)
+    out, _ = _fused_logpdf(kernel, x, noise_diag, delta)
     return out
 
 
 def _fused_logpdf(kernel, x, noise_diag, delta):
-    """(logpdf, L, z) with the whitening solve riding the sweep."""
+    """(logpdf, slabs, z, n, npad): whitening solve + logdet ride the
+    sweep; the N×N factor is NEVER assembled on this (primal) path —
+    logdet comes from the slab diagonals (padded rows contribute log 1 =
+    0) and the padded z rows are exactly zero."""
     vec = delta.ndim == 1
     D = delta[:, None] if vec else delta
-    L, z = _cholesky_gram_impl(kernel, x, noise_diag, _BLOCK, rhs=D)
-    n = L.shape[0]
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    slabs, zs, n, npad = _gram_sweep_slabs(kernel, x, noise_diag, _BLOCK,
+                                           rhs=D)
+    logdet = 2.0 * _slabs_logdet(slabs)
+    z = jnp.concatenate(zs, axis=0)            # (npad, q)
     quad = jnp.sum(jnp.square(z), axis=0)
     out = -0.5 * (n * math.log(2.0 * math.pi) + logdet + quad)
-    return (out[0] if vec else out), L, z
+    return (out[0] if vec else out), (slabs, zs, n, npad)
 
 
 def _logpdf_from_chol(L, delta):
@@ -705,7 +745,10 @@ def _logpdf_and_z_from_chol(L, delta):
 
 
 def _gram_logpdf_fwd(kernel, x, noise_diag, delta):
-    out, L, z = _fused_logpdf(kernel, x, noise_diag, delta)
+    out, (slabs, zs, n, npad) = _fused_logpdf(kernel, x, noise_diag, delta)
+    # the backward needs the assembled factor (potri); primal path doesn't
+    L = _assemble_slabs(npad, slabs, jnp.float32)[:n, :n]
+    z = jnp.concatenate(zs, axis=0)[:n]
     vec = delta.ndim == 1
     alpha = lax.linalg.triangular_solve(
         L, z, left_side=True, lower=True, transpose_a=True
