@@ -46,6 +46,20 @@ __all__ = [
 ]
 
 
+def coerce_float(v):
+    """``jnp.asarray(v, float)`` tolerant of non-numeric placeholders.
+
+    ``register_dataclass`` unflattening re-runs ``__init__`` (and so
+    ``__post_init__``); several jax internals (while_loop/AD machinery)
+    probe pytree structure by unflattening with SENTINEL objects, which
+    must pass through a dtype coercion untouched instead of raising.
+    """
+    try:
+        return jnp.asarray(v, dtype=float)
+    except (TypeError, ValueError):
+        return v
+
+
 def kernel_pytree(*, data=(), meta=()):
     """Class decorator: frozen dataclass registered as a JAX pytree.
 

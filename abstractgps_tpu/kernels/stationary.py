@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..ops import pallas_gram
 from ..ops.distance import as_inputs, pairwise_sqdist, safe_sqrt
-from .base import Kernel, kernel_pytree
+from .base import coerce_float, Kernel, kernel_pytree
 
 __all__ = [
     "IsotropicKernel",
@@ -139,7 +139,7 @@ class RationalQuadraticKernel(IsotropicKernel):
     alpha: jax.Array = 2.0
 
     def __post_init__(self):
-        object.__setattr__(self, "alpha", jnp.asarray(self.alpha, dtype=float))
+        object.__setattr__(self, "alpha", coerce_float(self.alpha))
 
     def _apply_sqdist(self, d2):
         return jnp.power(1.0 + d2 / (2.0 * self.alpha), -self.alpha)
@@ -152,7 +152,7 @@ class GammaExponentialKernel(IsotropicKernel):
     gamma: jax.Array = 1.0
 
     def __post_init__(self):
-        object.__setattr__(self, "gamma", jnp.asarray(self.gamma, dtype=float))
+        object.__setattr__(self, "gamma", coerce_float(self.gamma))
 
     def _apply_sqdist(self, d2):
         # d^γ = (d²)^(γ/2); guard the 0^γ gradient like safe_sqrt.
@@ -196,7 +196,7 @@ class ConstantKernel(Kernel):
     c: jax.Array = 1.0
 
     def __post_init__(self):
-        object.__setattr__(self, "c", jnp.asarray(self.c, dtype=float))
+        object.__setattr__(self, "c", coerce_float(self.c))
 
     def cross(self, x, z):
         x, z = as_inputs(x), as_inputs(z)
@@ -235,7 +235,10 @@ class PeriodicKernel(Kernel):
     period: jax.Array = 1.0
 
     def __post_init__(self):
-        object.__setattr__(self, "period", jnp.atleast_1d(jnp.asarray(self.period, dtype=float)))
+        p_ = coerce_float(self.period)
+        if isinstance(p_, jax.Array):
+            p_ = jnp.atleast_1d(p_)
+        object.__setattr__(self, "period", p_)
 
     def cross(self, x, z):
         x, z = as_inputs(x), as_inputs(z)
@@ -255,7 +258,7 @@ class LinearKernel(Kernel):
     c: jax.Array = 0.0
 
     def __post_init__(self):
-        object.__setattr__(self, "c", jnp.asarray(self.c, dtype=float))
+        object.__setattr__(self, "c", coerce_float(self.c))
 
     def cross(self, x, z):
         x, z = as_inputs(x), as_inputs(z)
@@ -274,7 +277,7 @@ class PolynomialKernel(Kernel):
     c: jax.Array = 0.0
 
     def __post_init__(self):
-        object.__setattr__(self, "c", jnp.asarray(self.c, dtype=float))
+        object.__setattr__(self, "c", coerce_float(self.c))
 
     def cross(self, x, z):
         x, z = as_inputs(x), as_inputs(z)

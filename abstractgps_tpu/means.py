@@ -37,7 +37,11 @@ class ConstMean:
     c: jax.Array
 
     def __post_init__(self):
-        object.__setattr__(self, "c", jnp.asarray(self.c, dtype=jnp.result_type(self.c, float)))
+        try:
+            c = jnp.asarray(self.c, dtype=jnp.result_type(self.c, float))
+        except (TypeError, ValueError):
+            c = self.c  # pytree-unflatten sentinel probe: pass through
+        object.__setattr__(self, "c", c)
 
     def __call__(self, x: jax.Array) -> jax.Array:
         n = as_inputs(x).shape[0]

@@ -33,21 +33,24 @@ def make_data(key, n):
     kx, kf, ky = jax.random.split(key, 3)
     x = jnp.sort(jax.random.uniform(kx, (n,)) * 6.0)
     f_true = agp.GP(agp.with_lengthscale(agp.SqExponentialKernel(), 1.0))(
-        x, 1e-6
+        x, 1e-4
     ).rand(kf)
     lgp = agp.LatentGP(
         agp.GP(agp.with_lengthscale(agp.SqExponentialKernel(), 1.0)),
         lambda f: dist.Poisson(jnp.exp(f)),
-        1e-6,
+        1e-4,
     )
     y = lgp(x).rand(ky)["y"]
     return x, jnp.asarray(y, x.dtype), f_true
 
 
-def main(smoke=False):
+def main(smoke=False, return_metrics=False):
     n = 30 if smoke else 60
     n_chains = 4 if smoke else 64
-    n_samp, n_warm = (20, 20) if smoke else (500, 500)
+    # full scale: 150+150 x 64 chains = 9600 kept draws — one device
+    # execution of ~55 s (500+500 exceeds the tunneled chip's execution
+    # window and surfaces as an UNAVAILABLE device error)
+    n_samp, n_warm = (20, 20) if smoke else (150, 150)
     key = jax.random.PRNGKey(0)
     kd, ki, ks = jax.random.split(key, 3)
     x, y, f_true = make_data(kd, n)
@@ -57,8 +60,10 @@ def main(smoke=False):
     def logjoint(q):
         ell = jnp.exp(q["lell"])
         s2 = jnp.exp(2.0 * q["lsigma"])
+        # 1e-4 jitter: the f32-sane floor (gram rounding is ~5e-6; a 1e-6
+        # jitter leaves the SE gram indefinite on TPU and NaNs the chol)
         fx = agp.GP(s2 * agp.with_lengthscale(agp.SqExponentialKernel(), ell))(
-            x, 1e-6
+            x, 1e-4
         )
         m, C = fx.mean_and_cov()
         L = jnp.linalg.cholesky(C)
@@ -75,8 +80,12 @@ def main(smoke=False):
     init = init_chain_positions(ki, q0, num_chains=n_chains, jitter=0.1)
 
     t0 = time.time()
+    # max_depth=8: full default-depth-10 trees x 1000 iterations x 64
+    # chains can exceed the device-execution window on a tunneled chip
+    # (observed as an UNAVAILABLE device error); depth 8 is ample for this
+    # well-conditioned whitened posterior.
     mcmc = run_mcmc(logjoint, init, ks, num_samples=n_samp,
-                    num_warmup=n_warm, num_chains=n_chains)
+                    num_warmup=n_warm, num_chains=n_chains, max_depth=8)
     jax.block_until_ready(mcmc.positions)
     dt = time.time() - t0
     total = n_chains * n_samp
@@ -99,7 +108,7 @@ def main(smoke=False):
         s2 = jnp.exp(2.0 * lsigma)
         fx = agp.GP(
             s2 * agp.with_lengthscale(agp.SqExponentialKernel(), jnp.exp(lell))
-        )(x, 1e-6)
+        )(x, 1e-4)
         m, C = fx.mean_and_cov()
         return m + jnp.linalg.cholesky(C) @ eps
 
@@ -113,7 +122,10 @@ def main(smoke=False):
     # R-hat on the hyperparameters across chains
     from abstractgps_tpu.inference.mcmc.diagnostics import rhat
 
-    print("R-hat(lell):", float(rhat(mcmc.positions["lell"])))
+    rhat_lell = float(rhat(mcmc.positions["lell"]))
+    print("R-hat(lell):", rhat_lell)
+    if return_metrics:
+        return {"mcmc": mcmc, "corr": float(corr), "rhat": rhat_lell}
     return mcmc
 
 

@@ -45,20 +45,23 @@ def load_data(smoke=False):
             jnp.asarray(t[~train]), jnp.asarray(co2[~train]))
 
 
-def theta_init():
-    # initial values at script.jl:70-97 (log-space constants)
+def theta_init(ystd=1.0):
+    # initial values at script.jl:70-97 (log-space constants); amplitude-type
+    # parameters are divided by ystd because the data is standardised (the
+    # reference fits raw ppm in f64 — see main()); lengthscales unchanged.
     e = np.exp
+    s = ystd
     return {
-        "se_long": {"sigma": P.positive(e(4.0)), "ell": P.positive(e(4.0))},
+        "se_long": {"sigma": P.positive(e(4.0) / s), "ell": P.positive(e(4.0))},
         "seasonal": {
             "per_ell": P.positive(e(0.0)),   # relative to the (fixed) 1y period
-            "se_sigma": P.positive(e(1.0)),
+            "se_sigma": P.positive(e(1.0) / s),
             "se_ell": P.positive(e(4.0)),
         },
-        "rq": {"sigma": P.positive(e(0.0)), "ell": P.positive(e(0.0)),
+        "rq": {"sigma": P.positive(e(0.0) / s), "ell": P.positive(e(0.0)),
                "alpha": P.positive(e(-1.0))},
-        "se_short": {"sigma": P.positive(e(-2.0)), "ell": P.positive(e(-2.0))},
-        "noise_scale": P.positive(e(-2.0)),
+        "se_short": {"sigma": P.positive(e(-2.0) / s), "ell": P.positive(e(-2.0))},
+        "noise_scale": P.positive(max(e(-2.0) / s, 2e-2)),
     }
 
 
@@ -81,24 +84,40 @@ def build_gp_prior(t):
 
 def main(smoke=False):
     xtrain, ytrain, xtest, ytest = load_data(smoke)
+    # Center time at the train mean: stationary kernels are shift-invariant,
+    # and raw years (~2e3) are fatal for the f32 distance expansion on TPU —
+    # ||x||^2 ~ 4e6 makes the d2 cancellation error ~0.5 absolute (vs
+    # seasonal lengthscales of ~1), which NaNs the factorization. Centering
+    # is mathematically a no-op and restores f32 accuracy.
+    t0 = xtrain.mean()
+    xtrain, xtest = xtrain - t0, xtest - t0
     ymean = ytrain.mean()
-    ytrain_c, ytest_c = ytrain - ymean, ytest - ymean
+    # Standardise y as well: the reference fits raw ppm under f64, where
+    # σ² inits of e⁸ ≈ 3000 are harmless; at f32 the gram's relative
+    # rounding (~5e-6) at that scale is 0.015 ABSOLUTE — above the
+    # initial noise floor, so the factorization NaNs. Unit-variance y
+    # puts the rounding ~4 orders below the fitted noise. Predictions
+    # are un-standardised before scoring, so the ppm RMSE is unchanged
+    # semantics.
+    ystd = ytrain.std()
+    ytrain_c, ytest_c = (ytrain - ymean) / ystd, (ytest - ymean) / ystd
     print(f"train {xtrain.shape[0]} pts, test {xtest.shape[0]} pts")
 
     def build_fx(theta, x):
-        # default jitter projection (script.jl:127: f(xtrain))
-        return build_gp_prior(theta)(x, 1e-6)
+        # 1e-5 jitter: f32-sane floor for unit-variance data (the
+        # reference's f64 default is 1e-18; script.jl:127 uses f(xtrain))
+        return build_gp_prior(theta)(x, 1e-5)
 
     loss = T.nlml(build_fx, xtrain, ytrain_c)
-    theta0 = theta_init()
+    theta0 = theta_init(float(ystd))
     print("initial -lml:", float(loss(theta0)))
-    res = T.fit_lbfgs(loss, theta0, num_steps=10 if smoke else 150)
+    res = T.fit_lbfgs(loss, theta0, num_steps=10 if smoke else 250)
     print("final -lml:", float(loss(res.params)))
 
     theta = P.constrain(res.params)
     post = build_fx(theta, xtrain).posterior(ytrain_c)
     mu, var = post.mean_and_var(xtest)
-    rmse = float(jnp.sqrt(jnp.mean((mu - ytest_c) ** 2)))
+    rmse = float(jnp.sqrt(jnp.mean((mu - ytest_c) ** 2))) * float(ystd)
     print(f"extrapolation RMSE on {xtest.shape[0]} held-out points: {rmse:.3f} ppm")
 
     if not smoke:
