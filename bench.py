@@ -169,6 +169,27 @@ def main():
     t_nuts = time.perf_counter() - t0
     nuts_rate = n_chains * n_draws / t_nuts
 
+    # chip CAPACITY: same model at 1024 chains — the 64-chain config is
+    # VPU-issue-overhead-bound (each op touches only (64, dim) elements);
+    # wider batches fill the vector unit (measured ~8x at 16x chains)
+    nc_big = 1024
+    init_big = init_chain_positions(
+        jax.random.PRNGKey(2), jnp.zeros((n_lat,), jnp.float32),
+        num_chains=nc_big, jitter=0.1,
+    )
+
+    def run_nuts_big():
+        return run_mcmc(logjoint, init_big, jax.random.PRNGKey(3),
+                        num_chains=nc_big, num_samples=n_draws,
+                        num_warmup=n_warm, max_depth=8)
+
+    res_b = run_nuts_big()
+    jax.block_until_ready(res_b.positions)
+    t0 = time.perf_counter()
+    res_b = run_nuts_big()
+    jax.block_until_ready(res_b.positions)
+    nuts_rate_big = nc_big * n_draws / (time.perf_counter() - t0)
+
     flops_fwd = cholesky_flops(N) + gram_flops(N, N, D)
     print(
         json.dumps(
@@ -179,6 +200,7 @@ def main():
                 "vs_baseline": round(t_naive / t_ours, 3),
                 "grad_evals_per_s": round(1.0 / t_grad, 3),
                 "nuts_samples_per_s_chip": round(nuts_rate, 1),
+                "nuts_samples_per_s_chip_1024c": round(nuts_rate_big, 1),
                 "nuts_config": f"latent-poisson n={n_lat} chains={n_chains} depth<=8",
                 "tflops": round(flops_fwd / t_ours / 1e12, 2),
                 "pct_f32_roof": round(100 * flops_fwd / t_ours / TPU_V5E_PEAK_F32, 1),
