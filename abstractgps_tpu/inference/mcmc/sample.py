@@ -14,6 +14,7 @@ initial position and returns samples with the same pytree structure
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple
 
 import jax
@@ -70,6 +71,7 @@ def run_mcmc(
     thin: int = 1,
     mesh=None,
     mesh_axis: str = "dp",
+    segment_size: int | None = None,
 ) -> MCMCResult:
     """Run NUTS (or fixed-length HMC) over ``logdensity``.
 
@@ -81,6 +83,17 @@ def run_mcmc(
     over ``mesh_axis`` (chains are embarrassingly parallel, so warmup and
     sampling run with zero cross-chip traffic; SURVEY §5). ``num_chains``
     must divide the mesh-axis size.
+
+    ``segment_size``: optional cap on the number of warmup/sampling
+    iterations per DEVICE EXECUTION. By default the whole run is one jitted
+    program — fastest, but a single execution longer than the runtime's
+    window fails (observed as an UNAVAILABLE device error at ~500×64-chain
+    NUTS on a tunneled chip; preemptible pods have the same constraint).
+    With ``segment_size`` set, warmup and sampling run as a Python loop of
+    identical jitted segments carrying (rng, state, adaptation) between
+    executions — results are BIT-IDENTICAL to the unsegmented run (same
+    scan recurrence, merely cut at segment boundaries; tested), at the
+    cost of one host round-trip per segment.
     """
     flat0, unravel = _flatten_chains(init_position, num_chains)
     n_chains = flat0.shape[0]
@@ -109,15 +122,15 @@ def run_mcmc(
     dim = flat0.shape[1]
     is_window, is_window_end = window_schedule(num_warmup)
 
-    def warmup_chain(key, q0):
-        state0 = hmc_init(ld_and_grad_safe, q0)
-        da0 = da_init(jnp.asarray(initial_step_size, dtype))
-        wf0 = welford_init(dim, dtype)
-        inv_mass0 = jnp.ones((dim,), dtype)
+    def warmup_init(key, q0):
+        return (key, hmc_init(ld_and_grad_safe, q0),
+                da_init(jnp.asarray(initial_step_size, dtype)),
+                welford_init(dim, dtype), jnp.ones((dim,), dtype))
 
-        def step(carry, xs):
+    def warmup_scan(carry, xs):
+        def step(carry, x):
             key, state, da, wf, inv_mass = carry
-            in_window, window_end = xs
+            in_window, window_end = x
             key, key_step = jax.random.split(key)
             step_size = jnp.exp(da.log_step)
             state, info = kernel(key_step, state, step_size, inv_mass)
@@ -141,17 +154,14 @@ def run_mcmc(
             )
             return (key, state, da, wf, inv_mass), None
 
-        (key, state, da, wf, inv_mass), _ = jax.lax.scan(
-            step, (key, state0, da0, wf0, inv_mass0), (is_window, is_window_end)
-        )
-        step_size = jnp.exp(da.log_step_avg)
-        return state, step_size, inv_mass
+        carry, _ = jax.lax.scan(step, carry, xs)
+        return carry
 
-    def sample_chain(key, state, step_size, inv_mass):
+    def sample_scan(carry, length):
         def step(carry, _):
             key, state = carry
             key, key_step = jax.random.split(key)
-            state, info = kernel(key_step, state, step_size, inv_mass)
+            state, info = kernel(key_step, state, step_size_c, inv_mass_c)
             if isinstance(info, NUTSInfo):
                 accept_prob = info.accept_prob
                 n_steps = info.num_steps
@@ -168,17 +178,18 @@ def run_mcmc(
             last = jax.tree_util.tree_map(lambda a: a[-1], outs)
             return carry, last
 
-        (key, state), outs = jax.lax.scan(
-            thinned, (key, state), None, length=num_samples
-        )
-        return outs
+        (key, state), step_size_c, inv_mass_c = carry
+        carry2, outs = jax.lax.scan((lambda c, x: thinned(c, x)),
+                                    (key, state), None, length=length)
+        return (carry2, step_size_c, inv_mass_c), outs
 
-    @jax.jit
-    def run(keys, q0s):
-        kw, ks = keys[:, 0], keys[:, 1]
-        states, step_sizes, inv_masses = jax.vmap(warmup_chain)(kw, q0s)
-        outs = jax.vmap(sample_chain)(ks, states, step_sizes, inv_masses)
-        return outs, step_sizes, inv_masses
+    def _chunks(total, size):
+        if size is None or size >= total:
+            return [total] if total else []
+        out = [size] * (total // size)
+        if total % size:
+            out.append(total % size)
+        return out
 
     chain_keys = jax.random.split(key, n_chains * 2).reshape(n_chains, 2, -1)
     if mesh is not None:
@@ -186,7 +197,35 @@ def run_mcmc(
 
         chain_keys = shard_along(chain_keys, mesh, mesh_axis)
         flat0 = shard_along(flat0, mesh, mesh_axis)
-    (qs, lds, aps, nss, divs), step_sizes, inv_masses = run(chain_keys, flat0)
+
+    # --- warmup: one or more jitted segment executions ---------------------
+    carry = jax.jit(jax.vmap(warmup_init))(chain_keys[:, 0], flat0)
+    warm_seg = jax.jit(jax.vmap(warmup_scan, in_axes=(0, None)))
+    pos = 0
+    for seg in _chunks(num_warmup, segment_size):
+        xs = (is_window[pos:pos + seg], is_window_end[pos:pos + seg])
+        carry = warm_seg(carry, xs)
+        pos += seg
+    _, states, da, _, inv_masses = carry
+    step_sizes = jnp.exp(da.log_step_avg)
+
+    # --- sampling: segments carrying (rng, state) --------------------------
+    scarry = ((chain_keys[:, 1], states), step_sizes, inv_masses)
+    seg_outs = []
+    compiled = {}  # one compiled program per distinct segment length
+    for seg in _chunks(num_samples, segment_size):
+        if seg not in compiled:
+            compiled[seg] = jax.jit(
+                jax.vmap(functools.partial(sample_scan, length=seg))
+            )
+        scarry, outs = compiled[seg](scarry)
+        seg_outs.append(outs)
+    if len(seg_outs) == 1:
+        (qs, lds, aps, nss, divs) = seg_outs[0]
+    else:
+        (qs, lds, aps, nss, divs) = jax.tree_util.tree_map(
+            lambda *a: jnp.concatenate(a, axis=1), *seg_outs
+        )
 
     positions = jax.vmap(jax.vmap(unravel))(qs)
     return MCMCResult(

@@ -47,10 +47,7 @@ def make_data(key, n):
 def main(smoke=False, return_metrics=False):
     n = 30 if smoke else 60
     n_chains = 4 if smoke else 64
-    # full scale: 150+150 x 64 chains = 9600 kept draws — one device
-    # execution of ~55 s (500+500 exceeds the tunneled chip's execution
-    # window and surfaces as an UNAVAILABLE device error)
-    n_samp, n_warm = (20, 20) if smoke else (150, 150)
+    n_samp, n_warm = (20, 20) if smoke else (500, 500)
     key = jax.random.PRNGKey(0)
     kd, ki, ks = jax.random.split(key, 3)
     x, y, f_true = make_data(kd, n)
@@ -80,12 +77,13 @@ def main(smoke=False, return_metrics=False):
     init = init_chain_positions(ki, q0, num_chains=n_chains, jitter=0.1)
 
     t0 = time.time()
-    # max_depth=8: full default-depth-10 trees x 1000 iterations x 64
-    # chains can exceed the device-execution window on a tunneled chip
-    # (observed as an UNAVAILABLE device error); depth 8 is ample for this
-    # well-conditioned whitened posterior.
+    # segment_size caps each DEVICE EXECUTION at ~150 iterations: a single
+    # 500+500 x 64-chain execution exceeds the runtime's execution window
+    # (UNAVAILABLE device error on a tunneled chip; preemptible pods have
+    # the same constraint). Segments are bit-identical to the one-shot run.
     mcmc = run_mcmc(logjoint, init, ks, num_samples=n_samp,
-                    num_warmup=n_warm, num_chains=n_chains, max_depth=8)
+                    num_warmup=n_warm, num_chains=n_chains, max_depth=8,
+                    segment_size=None if smoke else 150)
     jax.block_until_ready(mcmc.positions)
     dt = time.time() - t0
     total = n_chains * n_samp

