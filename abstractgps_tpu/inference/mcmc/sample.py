@@ -198,34 +198,55 @@ def run_mcmc(
         chain_keys = shard_along(chain_keys, mesh, mesh_axis)
         flat0 = shard_along(flat0, mesh, mesh_axis)
 
-    # --- warmup: one or more jitted segment executions ---------------------
-    carry = jax.jit(jax.vmap(warmup_init))(chain_keys[:, 0], flat0)
-    warm_seg = jax.jit(jax.vmap(warmup_scan, in_axes=(0, None)))
-    pos = 0
-    for seg in _chunks(num_warmup, segment_size):
-        xs = (is_window[pos:pos + seg], is_window_end[pos:pos + seg])
-        carry = warm_seg(carry, xs)
-        pos += seg
-    _, states, da, _, inv_masses = carry
-    step_sizes = jnp.exp(da.log_step_avg)
-
-    # --- sampling: segments carrying (rng, state) --------------------------
-    scarry = ((chain_keys[:, 1], states), step_sizes, inv_masses)
-    seg_outs = []
-    compiled = {}  # one compiled program per distinct segment length
-    for seg in _chunks(num_samples, segment_size):
-        if seg not in compiled:
-            compiled[seg] = jax.jit(
-                jax.vmap(functools.partial(sample_scan, length=seg))
+    if segment_size is None:
+        # fast path: warmup + sampling fused into ONE device execution
+        # (splitting into separate programs measured ~25% slower at the
+        # 64-chain bench config — program-boundary pipeline breaks)
+        @jax.jit
+        def run(keys, q0s):
+            carry = jax.vmap(warmup_init)(keys[:, 0], q0s)
+            carry = jax.vmap(warmup_scan, in_axes=(0, None))(
+                carry, (is_window, is_window_end)
             )
-        scarry, outs = compiled[seg](scarry)
-        seg_outs.append(outs)
-    if len(seg_outs) == 1:
-        (qs, lds, aps, nss, divs) = seg_outs[0]
-    else:
-        (qs, lds, aps, nss, divs) = jax.tree_util.tree_map(
-            lambda *a: jnp.concatenate(a, axis=1), *seg_outs
+            _, states, da, _, inv_masses = carry
+            step_sizes = jnp.exp(da.log_step_avg)
+            scarry = ((keys[:, 1], states), step_sizes, inv_masses)
+            _, outs = jax.vmap(
+                functools.partial(sample_scan, length=num_samples)
+            )(scarry)
+            return outs, step_sizes, inv_masses
+
+        (qs, lds, aps, nss, divs), step_sizes, inv_masses = run(
+            chain_keys, flat0
         )
+    else:
+        # segmented path: bounded device executions (see docstring)
+        carry = jax.jit(jax.vmap(warmup_init))(chain_keys[:, 0], flat0)
+        warm_seg = jax.jit(jax.vmap(warmup_scan, in_axes=(0, None)))
+        pos = 0
+        for seg in _chunks(num_warmup, segment_size):
+            xs = (is_window[pos:pos + seg], is_window_end[pos:pos + seg])
+            carry = warm_seg(carry, xs)
+            pos += seg
+        _, states, da, _, inv_masses = carry
+        step_sizes = jnp.exp(da.log_step_avg)
+
+        scarry = ((chain_keys[:, 1], states), step_sizes, inv_masses)
+        seg_outs = []
+        compiled = {}  # one compiled program per distinct segment length
+        for seg in _chunks(num_samples, segment_size):
+            if seg not in compiled:
+                compiled[seg] = jax.jit(
+                    jax.vmap(functools.partial(sample_scan, length=seg))
+                )
+            scarry, outs = compiled[seg](scarry)
+            seg_outs.append(outs)
+        if len(seg_outs) == 1:
+            (qs, lds, aps, nss, divs) = seg_outs[0]
+        else:
+            (qs, lds, aps, nss, divs) = jax.tree_util.tree_map(
+                lambda *a: jnp.concatenate(a, axis=1), *seg_outs
+            )
 
     positions = jax.vmap(jax.vmap(unravel))(qs)
     return MCMCResult(

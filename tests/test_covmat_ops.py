@@ -178,8 +178,11 @@ def test_lowrank_update_beats_refactorize(rng):
     assert np.allclose(np.asarray(Lu), np.asarray(Lr), atol=1e-6)
 
     def best(f):
+        # min over 5 interleaved-with-nothing reps: the uncontended margin
+        # is ~3x (0.15 s vs 0.47 s on this box), but a concurrent TPU
+        # client on the 2-CPU machine can inflate individual reps
         t = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             jax.block_until_ready(f(L, V))
             t = min(t, time.perf_counter() - t0)
