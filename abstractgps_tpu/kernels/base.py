@@ -53,7 +53,15 @@ def coerce_float(v):
     ``__post_init__``); several jax internals (while_loop/AD machinery)
     probe pytree structure by unflattening with SENTINEL objects, which
     must pass through a dtype coercion untouched instead of raising.
+
+    Genuinely invalid user input (str/bytes) is NOT a sentinel — those
+    re-raise here so the error points at construction, not at a later
+    trace site.
     """
+    if isinstance(v, (str, bytes)):
+        raise TypeError(
+            f"kernel/mean parameter must be numeric, got {type(v).__name__}: {v!r}"
+        )
     try:
         return jnp.asarray(v, dtype=float)
     except (TypeError, ValueError):

@@ -37,6 +37,11 @@ class ConstMean:
     c: jax.Array
 
     def __post_init__(self):
+        if isinstance(self.c, (str, bytes)):
+            raise TypeError(
+                f"ConstMean value must be numeric, got {type(self.c).__name__}: "
+                f"{self.c!r}"
+            )
         try:
             c = jnp.asarray(self.c, dtype=jnp.result_type(self.c, float))
         except (TypeError, ValueError):

@@ -105,7 +105,15 @@ def _chol_inv_block_body(a_ref, lt_ref, w_ref, m_scr):
     row_ids = lax.broadcasted_iota(jnp.int32, (B, 1), 0)    # (B,1)
     eye = (row_ids == lane.reshape(1, B)).astype(a_ref.dtype)  # (B,B)
 
-    m_scr[:] = a_ref[:]
+    # Honour the lower-triangle-only contract (covmat.cholesky_lower /
+    # reference Symmetric view): mirror tril(A) into scratch so garbage in
+    # A's upper triangle never enters the factorization. The group loop
+    # below reads ROWS of m_scr (the upper triangle of the symmetrised
+    # trailing matrix), which is only valid because this entry write makes
+    # m_scr exactly symmetric.
+    a = a_ref[:]
+    a_low = jnp.where(row_ids >= lane, a, 0.0)
+    m_scr[:] = a_low + jnp.where(row_ids > lane, a, 0.0).T
     w_ref[:] = eye
 
     for g in range(B // R):
@@ -172,6 +180,9 @@ def _chol_inv_block(A: jax.Array, interpret: bool = False):
     from jax.experimental.pallas import tpu as pltpu
 
     B = A.shape[0]
+    # static-config contract: the group loop factors (B//_GROUP)*_GROUP
+    # columns, so a non-multiple block would silently skip columns.
+    assert B % _GROUP == 0, f"block size {B} must be a multiple of {_GROUP}"
     return pl.pallas_call(
         _chol_inv_block_body,
         out_shape=(
@@ -213,12 +224,15 @@ def _tri_inv_block_body(l_ref, w_ref):
     eye = (row_ids == lane.reshape(1, B)).astype(l_ref.dtype)
     lower = row_ids >= lane
 
-    # Newton from the exact inverse diagonal: 7 steps are exact for a
-    # B ≤ 128 triangular factor (see _chol_inv_block_body) — all MXU.
+    # Newton from the exact inverse diagonal: the error term is nilpotent,
+    # its strictly-lower degree doubles per step, so ceil(log2(B)) steps
+    # are EXACT for a B-wide triangular factor — all MXU. Derived from B so
+    # changing _BLOCK cannot silently truncate the iteration.
+    n_steps = max(1, math.ceil(math.log2(B)))
     diag_row = jnp.sum(jnp.where(eye > 0, l_ref[:], 0.0),
                        axis=0, keepdims=True)
     W = jnp.where(eye > 0, 1.0 / diag_row, 0.0)
-    for _ in range(7):
+    for _ in range(n_steps):
         Rm = jnp.dot(l_ref[:], W, precision=HI,
                      preferred_element_type=jnp.float32)
         W = jnp.where(lower, 2.0 * W - jnp.dot(

@@ -182,3 +182,15 @@ def test_input_containers(rng):
     assert xc.shape == (6, 3)
     assert np.allclose(xc, xr)
     assert np.allclose(agp.as_inputs(jnp.asarray(X), obsdim=2), xc)
+
+
+def test_invalid_string_param_raises_at_construction():
+    # coerce_float must not swallow genuinely invalid (str) parameters —
+    # they should fail at construction, not at an obscure later trace site
+    import abstractgps_tpu as agp
+    from abstractgps_tpu.means import ConstMean
+
+    with pytest.raises(TypeError, match="numeric"):
+        agp.RationalQuadraticKernel(alpha="not-a-number")
+    with pytest.raises(TypeError, match="numeric"):
+        ConstMean("oops")

@@ -105,6 +105,20 @@ def test_cholesky_lower_dispatch(rng, monkeypatch):
     assert not pallas_chol.should_use_pallas(A.astype(jnp.float64))
 
 
+def test_pallas_cholesky_reads_only_lower_triangle(rng):
+    # the documented Symmetric-view contract (covmat.cholesky_lower):
+    # garbage in the upper triangle must not affect the factorization
+    A = _spd(rng, 96)
+    garbage = jnp.triu(
+        jnp.asarray(rng.normal(size=(96, 96)) * 1e3, jnp.float32), 1
+    )
+    A_dirty = jnp.tril(A) + garbage
+    L = pallas_chol._blocked_cholesky_impl(A_dirty, block=32)
+    L_ref = jax.lax.linalg.cholesky(A)
+    assert not bool(jnp.isnan(L).any())
+    np.testing.assert_allclose(np.asarray(L), np.asarray(L_ref), atol=2e-5)
+
+
 def test_non_psd_propagates_nan(rng):
     A = _spd(rng, 64) - 10.0 * jnp.eye(64, dtype=jnp.float32)
     L = pallas_chol._blocked_cholesky_impl(A, block=32)
