@@ -72,6 +72,7 @@ def run_mcmc(
     mesh=None,
     mesh_axis: str = "dp",
     segment_size: int | None = None,
+    _program_only: bool = False,
 ) -> MCMCResult:
     """Run NUTS (or fixed-length HMC) over ``logdensity``.
 
@@ -198,12 +199,37 @@ def run_mcmc(
         chain_keys = shard_along(chain_keys, mesh, mesh_axis)
         flat0 = shard_along(flat0, mesh, mesh_axis)
 
+    def _shard_chains(fn, in_specs, out_specs):
+        """Chain-sharding via ``shard_map``, NOT sharded-input GSPMD.
+
+        Chains are embarrassingly parallel, but letting the SPMD
+        partitioner slice a vmapped ``while_loop`` inserts a pred[]
+        all-reduce per tree/trajectory iteration (the batched loop
+        condition must agree across devices) and locksteps every device
+        to the globally slowest chain. ``shard_map`` gives each device
+        its own local-chain loop: ZERO collectives in the compiled
+        program (asserted by tests/test_scaling_structure.py) and
+        per-device progress independent of other hosts — the property
+        the ≥70% N-host scaling target rests on.
+        """
+        if mesh is None:
+            return fn
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(mesh_axis)
+        return jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=jax.tree_util.tree_map(
+                lambda rep: P() if rep else spec, in_specs),
+            out_specs=spec if out_specs is None else out_specs,
+            check_vma=False,
+        )
+
     if segment_size is None:
         # fast path: warmup + sampling fused into ONE device execution
         # (splitting into separate programs measured ~25% slower at the
         # 64-chain bench config — program-boundary pipeline breaks)
-        @jax.jit
-        def run(keys, q0s):
+        def run_core(keys, q0s):
             carry = jax.vmap(warmup_init)(keys[:, 0], q0s)
             carry = jax.vmap(warmup_scan, in_axes=(0, None))(
                 carry, (is_window, is_window_end)
@@ -216,13 +242,25 @@ def run_mcmc(
             )(scarry)
             return outs, step_sizes, inv_masses
 
+        run = jax.jit(_shard_chains(run_core, (False, False), None))
+
+        if _program_only:
+            # structure-testing hook: hand back the fused program + its
+            # example args so tests can AOT-lower it and assert on the
+            # optimized HLO (collective counts — tests/test_scaling_structure)
+            return run, (chain_keys, flat0)
+
         (qs, lds, aps, nss, divs), step_sizes, inv_masses = run(
             chain_keys, flat0
         )
     else:
         # segmented path: bounded device executions (see docstring)
-        carry = jax.jit(jax.vmap(warmup_init))(chain_keys[:, 0], flat0)
-        warm_seg = jax.jit(jax.vmap(warmup_scan, in_axes=(0, None)))
+        carry = jax.jit(
+            _shard_chains(jax.vmap(warmup_init), (False, False), None)
+        )(chain_keys[:, 0], flat0)
+        warm_seg = jax.jit(_shard_chains(
+            jax.vmap(warmup_scan, in_axes=(0, None)), (False, True), None
+        ))
         pos = 0
         for seg in _chunks(num_warmup, segment_size):
             xs = (is_window[pos:pos + seg], is_window_end[pos:pos + seg])
@@ -236,9 +274,10 @@ def run_mcmc(
         compiled = {}  # one compiled program per distinct segment length
         for seg in _chunks(num_samples, segment_size):
             if seg not in compiled:
-                compiled[seg] = jax.jit(
-                    jax.vmap(functools.partial(sample_scan, length=seg))
-                )
+                compiled[seg] = jax.jit(_shard_chains(
+                    jax.vmap(functools.partial(sample_scan, length=seg)),
+                    (False,), None,
+                ))
             scarry, outs = compiled[seg](scarry)
             seg_outs.append(outs)
         if len(seg_outs) == 1:

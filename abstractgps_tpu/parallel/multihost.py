@@ -106,6 +106,19 @@ def make_pod_mesh(
     ``tp`` (dividing the local device count) to split hosts into several
     dp rows. With one axis name, all devices flatten onto it
     (process-major order, so contiguous dp shards stay host-local).
+
+    Device ORDER within the mesh is delegated to
+    ``jax.experimental.mesh_utils`` (not a raw ``jax.devices()`` reshape):
+    on a real slice, logical device ids are not guaranteed to enumerate in
+    torus order, so a naive reshape can place a ``tp`` row on
+    non-neighboring chips and push its per-panel collectives through
+    multi-hop ICI routes. ``create_hybrid_device_mesh`` assigns the DCN
+    (cross-process) axis to process granules and lays each granule's ICI
+    axes along physical torus coordinates; single-process TPU falls to
+    ``create_device_mesh`` (same torus-aware ordering, e.g. the v5e 4x2
+    tray enumerates as a ring); non-TPU backends keep the process-major
+    reshape, where "topology" does not exist. See
+    docs/performance.md ("Pod mesh topology") for the v5e ordering note.
     """
     devs = jax.devices()
     n = len(devs)
@@ -121,8 +134,24 @@ def make_pod_mesh(
             "so tensor-parallel collectives never cross hosts"
         )
     dp = n // tp
-    # jax.devices() is process-major: reshaping (dp, tp) keeps each tp row
-    # inside one process's device block
+    if devs[0].platform == "tpu":
+        from jax.experimental import mesh_utils
+
+        try:
+            if nproc > 1:
+                # per-process (ICI) block: (local//tp, tp); DCN axis: dp
+                # spread over the process granules
+                arr = mesh_utils.create_hybrid_device_mesh(
+                    (local // tp, tp), (nproc, 1), devices=devs,
+                    process_is_granule=True,
+                ).reshape(dp, tp)
+            else:
+                arr = mesh_utils.create_device_mesh((dp, tp), devices=devs)
+            return Mesh(arr, axis_names)
+        except (ValueError, AssertionError, NotImplementedError):
+            pass  # unusual topology/device-count: process-major fallback
+    # CPU/GPU (or topology-helper failure): process-major reshape keeps each
+    # tp row inside one process's device block
     return Mesh(np.asarray(devs).reshape(dp, tp), axis_names)
 
 
