@@ -67,9 +67,11 @@ from .models.pathwise import (
     sample_fourier_features,
 )
 from .models.markov import (
+    MarkovPosteriorGP,
     is_markov_kernel,
     markov_logpdf,
     markov_mean_and_var,
+    markov_posterior,
     markov_rand,
 )
 from .models import exact_posterior as _exact

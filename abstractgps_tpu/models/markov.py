@@ -35,7 +35,9 @@ stationarity: ``Q = P∞ − A P∞ Aᵀ``.
 
 from __future__ import annotations
 
+import dataclasses
 import math
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +52,7 @@ from ..kernels.base import (
 )
 from ..kernels.stationary import ExponentialKernel, Matern32Kernel, Matern52Kernel
 from ..means import mean_vector
+from .gp import AbstractGP
 from ..ops.distance import as_inputs
 from ..ops.noise import DenseNoise, as_noise
 
@@ -58,6 +61,8 @@ __all__ = [
     "markov_logpdf",
     "markov_mean_and_var",
     "markov_rand",
+    "markov_posterior",
+    "MarkovPosteriorGP",
     "is_markov_kernel",
 ]
 
@@ -316,6 +321,20 @@ def _par_filter(A, Q, H, y, r, obs_mask):
 
 def _rts_smoother(A, m_f, P_f, m_p, P_p):
     """Sequential RTS smoother (reverse lax.scan) over the filtered pass."""
+    ms, Ps, _ = _rts_smoother_gains(A, m_f, P_f, m_p, P_p)
+    return ms, Ps
+
+
+def _rts_smoother_gains(A, m_f, P_f, m_p, P_p):
+    """RTS smoother that also returns the gains ``G_k`` (k = 0..n−2).
+
+    ``G_k = P_k^f A_{k+1}ᵀ (P_{k+1}^p)⁻¹`` links state k to k+1; the gains
+    are what turn the smoother into a JOINT posterior over the whole
+    timeline: ``Cov(s_i, s_j) = G_i G_{i+1} … G_{j−1} P_j^s`` for i < j
+    (the smoothed chain is itself Gauss–Markov — Särkkä, *Bayesian
+    Filtering and Smoothing*, Thm 8.2), which is how the Markov backend
+    serves full posterior cross-covariances without any N×N solve.
+    """
     n, D = m_f.shape
 
     def step(carry, inp):
@@ -324,14 +343,42 @@ def _rts_smoother(A, m_f, P_f, m_p, P_p):
         G = jnp.linalg.solve(Pp_next.T, (Pk @ A_next.T).T).T
         ms = mk + G @ (ms_next - mp_next)
         Ps = Pk + G @ (Ps_next - Pp_next) @ G.T
-        return (ms, Ps), (ms, Ps)
+        return (ms, Ps), (ms, Ps, G)
 
     init = (m_f[-1], P_f[-1])
     inps = (m_f[:-1], P_f[:-1], m_p[1:], P_p[1:], A[1:])
-    _, (ms, Ps) = lax.scan(step, init, inps, reverse=True)
+    _, (ms, Ps, Gs) = lax.scan(step, init, inps, reverse=True)
     ms = jnp.concatenate([ms, m_f[-1:]], axis=0)
     Ps = jnp.concatenate([Ps, P_f[-1:]], axis=0)
-    return ms, Ps
+    return ms, Ps, Gs
+
+
+def _pairwise_fcov(H, Gs, Ps):
+    """Full pairwise posterior covariance of ``f = Hᵀs`` over the timeline.
+
+    ``F[i, j] = Hᵀ (G_i … G_{j−1} P_j^s) H`` (i ≤ j), symmetrised. One
+    ``lax.scan`` over columns with a carried (n, D, D) product table —
+    O(n²·p³) work for an inherently O(n²) output; this is the
+    presentation/conformance path (marginals stay O(n·p³) via
+    ``markov_mean_and_var``).
+    """
+    n, D = Ps.shape[0], Ps.shape[1]
+    eye = jnp.eye(D, dtype=Ps.dtype)
+    idx = jnp.arange(n)
+    U0 = jnp.broadcast_to(eye, (n, D, D))
+    Gpad = jnp.concatenate([Gs, jnp.broadcast_to(eye, (1, D, D))], axis=0)
+
+    def step(U, inp):
+        j, Pj, Gj = inp
+        col = jnp.einsum("a,nab,bc,c->n", H, U, Pj, H)
+        col = jnp.where(idx <= j, col, 0.0)
+        U_new = U @ Gj
+        U_new = jnp.where((idx == j + 1)[:, None, None], eye, U_new)
+        return U_new, col
+
+    _, cols = lax.scan(step, U0, (idx, Ps, Gpad))
+    F_ut = cols.T  # (i, j) upper triangle (i ≤ j)
+    return F_ut + F_ut.T - jnp.diag(jnp.diagonal(F_ut))
 
 
 # ---------------------------------------------------------------------------
@@ -473,3 +520,83 @@ def markov_mean_and_var(fx, y: jax.Array, x_test, parallel: bool = False):
     # scatter back to the merged order, then slice out the test entries
     inv = jnp.argsort(order)
     return mean_s[inv][n_train:], var_s[inv][n_train:]
+
+
+def _posterior_joint(fx, y, x_test, parallel: bool = False):
+    """Posterior mean AND full covariance of f at ``x_test`` — one
+    filter+smoother pass plus the pairwise gain products."""
+    t_s, y_s, r_s, o_s, prior_mean_s, order, n_train, dtype = _merged_timeline(
+        fx, y, x_test
+    )
+    A, Q, H, _ = _build_ssm(fx.f.kernel, t_s, dtype)
+    run = _par_filter if parallel else _seq_filter
+    m_f, P_f, m_p, P_p, _ = run(A, Q, H, y_s, r_s, o_s)
+    ms, Ps, Gs = _rts_smoother_gains(A, m_f, P_f, m_p, P_p)
+    mean_s = ms @ H + prior_mean_s
+    F = _pairwise_fcov(H, Gs, Ps)
+    sel = jnp.argsort(order)[n_train:]
+    return mean_s[sel], F[sel][:, sel]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["fx", "y"],
+    meta_fields=["parallel"],
+)
+@dataclasses.dataclass(frozen=True)
+class MarkovPosteriorGP(AbstractGP):
+    """Exact GPR posterior served by the state-space backend.
+
+    Same semantics as the dense ``posterior(fx, y)``
+    (src/exact_gpr_posterior.jl:25-35) for Markov kernels on 1-D inputs,
+    but nothing N×N over the TRAINING set is ever formed: marginals come
+    from the O(N·p³) filter/smoother, and cross-covariances between query
+    points from the smoother gains (the smoothed chain is Gauss–Markov, so
+    ``Cov(f(t_i), f(t_j)) = Hᵀ G_i … G_{j−1} P_j^s H``). Being an
+    ``AbstractGP``, it composes with the whole machinery — projection,
+    further conditioning, conformance suites (posteriors-are-GPs,
+    src/posterior_gp.jl pattern).
+    """
+
+    fx: object
+    y: jax.Array
+    parallel: bool = False
+
+    def mean(self, xs):
+        return markov_mean_and_var(self.fx, self.y, xs, self.parallel)[0]
+
+    def var(self, xs):
+        return markov_mean_and_var(self.fx, self.y, xs, self.parallel)[1]
+
+    def mean_and_var(self, xs):
+        return markov_mean_and_var(self.fx, self.y, xs, self.parallel)
+
+    def cov(self, xs, zs=None):
+        if zs is None:
+            return _posterior_joint(self.fx, self.y, xs, self.parallel)[1]
+        xq, zq = as_inputs(xs), as_inputs(zs)
+        nx = xq.shape[0]
+        tq = jnp.concatenate([xq, zq], axis=0)
+        F = _posterior_joint(self.fx, self.y, tq, self.parallel)[1]
+        return F[:nx, nx:]
+
+    def mean_and_cov(self, xs):
+        return _posterior_joint(self.fx, self.y, xs, self.parallel)
+
+    def rand(self, key, xs, num_samples=None):
+        """Joint posterior samples at ``xs`` via the O(N) backward sampler
+        (``markov_rand``), not the dense covariance."""
+        return markov_rand(self.fx, self.y, xs, key, num_samples=num_samples,
+                           parallel=self.parallel)
+
+
+def markov_posterior(fx, y: jax.Array, parallel: bool = False) -> MarkovPosteriorGP:
+    """``posterior(fx, y)`` on the state-space path: an ``AbstractGP`` with
+    O(N·p³) training cost (see ``MarkovPosteriorGP``)."""
+    if not is_markov_kernel(fx.f.kernel):
+        raise TypeError(
+            f"kernel {type(fx.f.kernel).__name__} has no state-space form; "
+            "markov_posterior supports Matern-family kernels (and sums) on "
+            "1-D inputs"
+        )
+    return MarkovPosteriorGP(fx=fx, y=jnp.asarray(y), parallel=parallel)

@@ -71,3 +71,47 @@ def test_composite_kernel_prior_conformance(data):
         + 0.1 * agp.LinearKernel(c=0.5)
     )
     check_internal(key, agp.GP(k), x, z)
+
+
+def test_cg_posterior_conformance(data):
+    # matrix-free backend #1 (VERDICT r3 §Missing-1): the CG/BBMM posterior
+    # self-certifies through the same internal suite as the dense types
+    x, z, key = data
+    k1, k2 = jax.random.split(key)
+    f = agp.GP(agp.with_lengthscale(agp.Matern52Kernel(), 0.9))
+    y = f(x, 0.1).rand(k1)
+    post = agp.CGInference(max_iters=64).posterior(f(x, 0.1), y)
+    check_internal(k2, post, x, z)
+
+
+def test_markov_posterior_conformance(key):
+    # matrix-free backend #2: the state-space posterior (an AbstractGP via
+    # smoother-gain cross-covariances) on a 1-D Matern problem
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jnp.sort(jax.random.uniform(k1, (17,)) * 3.0)[:, None]
+    z = (jax.random.uniform(k2, (11,)) * 3.0)[:, None]
+    f = agp.GP(1.3 * agp.with_lengthscale(agp.Matern32Kernel(), 0.8))
+    y = f(x, 0.1).rand(k1)
+    post = agp.markov_posterior(f(x, 0.1), y)
+    check_internal(k3, post, x, z)
+
+
+def test_markov_posterior_matches_dense(key):
+    # oracle: every surface of MarkovPosteriorGP == the dense exact posterior
+    k1, k2 = jax.random.split(key)
+    x = jnp.sort(jax.random.uniform(k1, (23,)) * 4.0)[:, None]
+    z = (jax.random.uniform(k2, (9,)) * 4.0)[:, None]
+    f = agp.GP(0.7 * agp.with_lengthscale(agp.Matern52Kernel(), 1.1))
+    y = f(x, 0.3).rand(k1)
+    dense = agp.posterior(f(x, 0.3), y)
+    mk = agp.markov_posterior(f(x, 0.3), y)
+    import numpy as np
+
+    np.testing.assert_allclose(mk.mean(z), dense.mean(z), atol=1e-8)
+    np.testing.assert_allclose(mk.var(z), dense.var(z), atol=1e-8)
+    np.testing.assert_allclose(mk.cov(z), dense.cov(z), atol=1e-8)
+    np.testing.assert_allclose(mk.cov(z, x), dense.cov(z, x), atol=1e-8)
+    m1, C1 = mk.mean_and_cov(z)
+    m2, C2 = dense.mean_and_cov(z)
+    np.testing.assert_allclose(m1, m2, atol=1e-8)
+    np.testing.assert_allclose(C1, C2, atol=1e-8)
