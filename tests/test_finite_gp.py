@@ -180,3 +180,59 @@ def test_to_mvnormal(rng):
     assert s.shape == (9,)
     S = mvn.sample(jax.random.PRNGKey(0), 4)
     assert S.shape == (9, 4)
+
+
+@pytest.mark.slow
+def test_to_mvnormal_million_sample_battery(key):
+    # The reference runs Distributions.jl's full MvNormal conformance with
+    # 10^6 samples (test/finite_gp_projection.jl:202); this is the
+    # equivalent statistical battery on to_mvnormal(): moments, marginal
+    # quantiles, and logpdf consistency, all at 10^6 draws.
+    from scipy.stats import norm as scipy_norm
+
+    n, S = 12, 1_000_000
+    x = jnp.linspace(0.0, 3.0, n)
+    f = agp.GP(0.5, 1.3 * agp.with_lengthscale(agp.Matern52Kernel(), 0.8))
+    fx = f(x, 0.2)
+    d = fx.to_mvnormal()
+
+    mu = np.asarray(fx.mean())
+    C = np.asarray(fx.cov())
+    sd = np.sqrt(np.diag(C))
+
+    Y = np.asarray(d.sample(key, S))  # (n, S)
+    assert Y.shape == (n, S)
+
+    # --- moments: sample mean within 6 mc-sigma, covariance elementwise ---
+    se_mean = sd / np.sqrt(S)
+    np.testing.assert_array_less(np.abs(Y.mean(axis=1) - mu), 6 * se_mean)
+    Cs = np.cov(Y)
+    # var(s_ij) ~ (C_ii C_jj + C_ij^2)/S — bound all entries at 6 sigma
+    se_cov = np.sqrt((np.outer(np.diag(C), np.diag(C)) + C**2) / S)
+    np.testing.assert_array_less(np.abs(Cs - C), 6 * se_cov)
+
+    # --- marginal quantiles at 2.5/50/97.5% for three coordinates ---
+    for i in (0, n // 2, n - 1):
+        for q in (0.025, 0.5, 0.975):
+            emp = np.quantile(Y[i], q)
+            want = scipy_norm.ppf(q, loc=mu[i], scale=sd[i])
+            # quantile standard error: sqrt(q(1-q)/S)/pdf(want)
+            se = np.sqrt(q * (1 - q) / S) / scipy_norm.pdf(
+                want, loc=mu[i], scale=sd[i]
+            )
+            assert abs(emp - want) < 6 * se, (i, q, emp, want)
+
+    # --- logpdf consistency: E[logpdf(Y)] = -(H = entropy) -----------------
+    L = np.linalg.cholesky(C)
+    entropy = 0.5 * (n * np.log(2 * np.pi) + 2 * np.sum(np.log(np.diag(L)))
+                     + n)
+    lps = np.asarray(d.logpdf(jnp.asarray(Y)))
+    assert lps.shape == (S,)
+    # var(logpdf) = var(0.5 chi2_n)/... = n/2
+    se_lp = np.sqrt(n / 2.0 / S)
+    assert abs(lps.mean() + entropy) < 6 * se_lp, (lps.mean(), -entropy)
+    # and the library logpdf agrees with scipy on a handful of draws
+    from scipy.stats import multivariate_normal
+
+    ref = multivariate_normal(mean=mu, cov=C).logpdf(Y[:, :5].T)
+    np.testing.assert_allclose(lps[:5], ref, rtol=1e-9)

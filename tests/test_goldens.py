@@ -62,3 +62,101 @@ def test_readme_elbo_golden():
     fz = agp.GP(agp.Matern32Kernel())(X[:5], 1e-12)
     np.testing.assert_allclose(float(agp.elbo(agp.VFE(fz), fx, Y)),
                                GOLDEN_ELBO_Z5, rtol=1e-10, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Mauna-Loa composite-kernel goldens (SURVEY §4 translation plan; the
+# reference example /root/reference/examples/1-mauna-loa: zero-mean GP with
+# k = SE_long + Per·SE_decay + RQ + SE_short over the CO2 time series).
+# Constants computed by the independent numpy/scipy implementation in the
+# module docstring discipline: plain closed-form kernels + dense f64
+# linalg, NEVER this library. Data: first 72 monthly rows (1958-1964) of
+# the example CSV; hyperparameters are fixed test values chosen for a
+# well-conditioned gram (cond ~9e4) so the goldens have 1e-9 teeth.
+# ---------------------------------------------------------------------------
+
+T = [1958.2083333333333, 1958.2916666666667, 1958.375,
+     1958.4583333333333, 1958.5416666666667, 1958.625,
+     1958.7083333333333, 1958.7916666666667, 1958.875,
+     1958.9583333333333, 1959.0416666666667, 1959.125,
+     1959.2083333333333, 1959.2916666666667, 1959.375,
+     1959.4583333333333, 1959.5416666666667, 1959.625,
+     1959.7083333333333, 1959.7916666666667, 1959.875,
+     1959.9583333333333, 1960.0416666666667, 1960.125,
+     1960.2083333333333, 1960.2916666666667, 1960.375,
+     1960.4583333333333, 1960.5416666666667, 1960.625,
+     1960.7083333333333, 1960.7916666666667, 1960.875,
+     1960.9583333333333, 1961.0416666666667, 1961.125,
+     1961.2083333333333, 1961.2916666666667, 1961.375,
+     1961.4583333333333, 1961.5416666666667, 1961.625,
+     1961.7083333333333, 1961.7916666666667, 1961.875,
+     1961.9583333333333, 1962.0416666666667, 1962.125,
+     1962.2083333333333, 1962.2916666666667, 1962.375,
+     1962.4583333333333, 1962.5416666666667, 1962.625,
+     1962.7083333333333, 1962.7916666666667, 1962.875,
+     1962.9583333333333, 1963.0416666666667, 1963.125,
+     1963.2083333333333, 1963.2916666666667, 1963.375,
+     1963.4583333333333, 1963.5416666666667, 1963.625,
+     1963.7083333333333, 1963.7916666666667, 1963.875,
+     1963.9583333333333, 1964.0416666666667, 1964.125]
+CO2 = [315.71, 317.45, 317.5,
+       317.1, 315.86, 314.93,
+       313.2, 312.66, 313.33,
+       314.67, 315.62, 316.38,
+       316.71, 317.72, 318.29,
+       318.15, 316.54, 314.8,
+       313.84, 313.26, 314.8,
+       315.58, 316.43, 316.97,
+       317.58, 319.02, 320.03,
+       319.59, 318.18, 315.91,
+       314.16, 313.83, 315.0,
+       316.19, 316.93, 317.7,
+       318.54, 319.48, 320.58,
+       319.77, 318.57, 316.79,
+       314.8, 315.38, 316.1,
+       317.01, 317.94, 318.56,
+       319.68, 320.63, 321.01,
+       320.55, 319.58, 317.4,
+       316.26, 315.42, 316.69,
+       317.69, 318.74, 319.08,
+       319.86, 321.39, 322.25,
+       321.47, 319.74, 317.77,
+       316.21, 315.99, 317.12,
+       318.31, 319.57, 320.07]
+ML_YMEAN = 317.3280555555556
+ML_GOLDEN_LOGPDF = -37.94725796895084
+ML_GOLDEN_POST_MEAN = [-4.169224899692679, 1.1382208552463595, 2.0767126262157944, 4.999103399760074]
+ML_GOLDEN_POST_VAR = [0.01690338275493275, 0.015120166345859332, 0.016999837201069568, 2.6661584030215835]
+
+ML_TT = jnp.array([1958.7083333333333, 1961.2083333333333,
+                   1964.0416666666667, 1966.5])
+
+
+def _mauna_loa_model():
+    k = (
+        50.0 * agp.with_lengthscale(agp.SEKernel(), 10.0)
+        + 4.0 * (agp.with_lengthscale(agp.PeriodicKernel(period=[0.7]), 1.0)
+                 * agp.with_lengthscale(agp.SEKernel(), 8.0))
+        + 1.0 * agp.with_lengthscale(
+            agp.RationalQuadraticKernel(alpha=0.4), 1.2)
+        + 0.05 * agp.with_lengthscale(agp.SEKernel(), 0.15)
+    )
+    t = jnp.asarray(T)
+    y = jnp.asarray(CO2) - ML_YMEAN
+    return agp.GP(k)(t, 0.04), y
+
+
+def test_mauna_loa_logpdf_golden():
+    fx, y = _mauna_loa_model()
+    np.testing.assert_allclose(float(fx.logpdf(y)), ML_GOLDEN_LOGPDF,
+                               rtol=0, atol=1e-8)
+
+
+def test_mauna_loa_posterior_golden():
+    fx, y = _mauna_loa_model()
+    post = agp.posterior(fx, y)
+    mu, var = post.mean_and_var(ML_TT)
+    np.testing.assert_allclose(np.asarray(mu), ML_GOLDEN_POST_MEAN,
+                               rtol=0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(var), ML_GOLDEN_POST_VAR,
+                               rtol=0, atol=1e-8)
