@@ -625,12 +625,18 @@ def _pallas_diag_inv(Lii: jax.Array) -> jax.Array:
 
 def _batched_diag_inv(L: jax.Array, block: int) -> jax.Array:
     """(nb, B, B) inverses of L's diagonal blocks — ONE vmapped Pallas
-    launch (grid-batched) on the production path."""
+    launch (grid-batched) on the production path.
+
+    Extraction is nb static slices + one stack: the previous
+    reshape-and-advanced-index formulation lowered to THREE full-N²
+    transpose copies plus a gather (~3.2 ms at N=8192 — measured r4
+    profile); the slice loop touches only the nb·B² block bytes."""
     n = L.shape[-1]
     nb = n // block
-    blocks = L.reshape(nb, block, nb, block)[
-        jnp.arange(nb), :, jnp.arange(nb), :
-    ]  # (nb, B, B)
+    blocks = jnp.stack([
+        lax.dynamic_slice(L, (i * block, i * block), (block, block))
+        for i in range(nb)
+    ])  # (nb, B, B)
     if (_INTERPRET or jax.default_backend() == "tpu") and L.dtype == jnp.float32:
         return jax.vmap(lambda b: _tri_inv_block(b, interpret=_INTERPRET))(
             blocks
@@ -666,10 +672,40 @@ def _inv_lower_blocked(L: jax.Array, block: int) -> jax.Array:
             W11 = W[base:base + s, base:base + s]
             W22 = W[base + s:base + 2 * s, base + s:base + 2 * s]
             L21 = L[base + s:base + 2 * s, base:base + s]
-            W21 = -_mm(W22, _mm(L21, W11))
+            W21 = -_trmm_ll(W22, _trmm_lr(L21, W11))
             W = lax.dynamic_update_slice(W, W21, (base + s, base))
         s *= 2
     return W
+
+
+_TRMM_SPLIT = 2048  # split dense x triangular products at/above this size
+
+
+def _trmm_lr(X, Wtri):
+    """``X @ Wtri`` with Wtri LOWER-triangular: one split level drops the
+    zero upper-right quarter (3 half-GEMMs instead of 4 — the classic TRMM
+    saving; ~25% of the doubling-merge FLOPs at the top levels, measured
+    ~1.4 ms of the N=8192 backward)."""
+    s = Wtri.shape[0]
+    if s < _TRMM_SPLIT:
+        return _mm(X, Wtri)
+    h = s // 2
+    A, C, D = Wtri[:h, :h], Wtri[h:, :h], Wtri[h:, h:]
+    left = _trmm_lr(X[:, :h], A) + _mm(X[:, h:], C)
+    right = _trmm_lr(X[:, h:], D)
+    return jnp.concatenate([left, right], axis=1)
+
+
+def _trmm_ll(Wtri, X):
+    """``Wtri @ X`` with Wtri LOWER-triangular (same split as ``_trmm_lr``)."""
+    s = Wtri.shape[0]
+    if s < _TRMM_SPLIT:
+        return _mm(Wtri, X)
+    h = s // 2
+    E, F, G = Wtri[:h, :h], Wtri[h:, :h], Wtri[h:, h:]
+    top = _trmm_ll(E, X[:h])
+    bot = _mm(F, X[:h]) + _trmm_ll(G, X[h:])
+    return jnp.concatenate([top, bot], axis=0)
 
 
 def _inv_lower_blocked_rowpanel(L: jax.Array, block: int) -> jax.Array:
@@ -709,14 +745,30 @@ def _spd_inv_lower_from_chol(L: jax.Array, block: int) -> jax.Array:
     symmetrisation — callers contracting against a symmetric ∂K fold the
     cotangent onto the lower triangle instead, skipping a full N×N
     transpose copy (measured ~0.8 ms at N=8192)."""
+    T, _ = _spd_inv_lower_and_trtri(L, block)
+    return T
+
+
+def _spd_inv_lower_and_trtri(L: jax.Array, block: int):
+    """``(tril(K⁻¹), L⁻¹)`` — the lauum exposes its trtri intermediate so
+    the logpdf backward can form ``α = L⁻ᵀ z = Wᵀ z`` with ONE thin GEMM
+    over the W it already paid for, instead of the XLA single-RHS
+    triangular solve (InvertDiagBlocks + sequential while: ~1.5 ms/eval
+    measured in the r4 grad profile)."""
     n = L.shape[-1]
     W = _inv_lower_blocked(L, block)
-    pw = _OUTER if n % _OUTER == 0 else block
+    # lauum by OUTPUT TILES with per-tile contraction start: the output
+    # block T[a:a+P, b:b+P] (a ≥ b) only needs rows k ≥ a of W (rows above
+    # a are zero in W's columns a:a+P) — the column-panel formulation this
+    # replaces contracted every deep row block from k = b, wasting ~40% of
+    # the lauum FLOPs (measured ~2 ms at N=8192).
+    pw = 512 if n % 512 == 0 else block
     T = jnp.zeros((n, n), L.dtype)
-    for r0 in range(0, n, pw):
-        panel = _mm(W[r0:, r0:].T, W[r0:, r0:r0 + pw])  # (n−r0, P)
-        T = lax.dynamic_update_slice(T, panel, (r0, r0))
-    return jnp.tril(T)
+    for b in range(0, n, pw):
+        for a in range(b, n, pw):
+            blk = _mm(W[a:, a:a + pw].T, W[a:, b:b + pw])  # (P, P)
+            T = lax.dynamic_update_slice(T, blk, (a, b))
+    return jnp.tril(T), W
 
 
 @jax.custom_vjp
@@ -772,49 +824,108 @@ def _logpdf_and_z_from_chol(L, delta):
 
 def _gram_logpdf_fwd(kernel, x, noise_diag, delta):
     out, (slabs, zs, n, npad) = _fused_logpdf(kernel, x, noise_diag, delta)
-    # the backward needs the assembled factor (potri); primal path doesn't
+    # the backward needs the assembled factor (potri); primal path doesn't.
+    # α = L⁻ᵀ z is DEFERRED to the backward, which gets L⁻¹ for free from
+    # the potri's trtri stage.
     L = _assemble_slabs(npad, slabs, jnp.float32)[:n, :n]
     z = jnp.concatenate(zs, axis=0)[:n]
     vec = delta.ndim == 1
-    alpha = lax.linalg.triangular_solve(
-        L, z, left_side=True, lower=True, transpose_a=True
-    )  # (n, q) = (K+Σ)⁻¹ δ
-    return out, (kernel, x, noise_diag, L, alpha, vec)
+    return out, (kernel, x, noise_diag, L, z, vec)
 
 
 def _gram_logpdf_bwd(res, gbar):
-    kernel, x, noise_diag, L, alpha, vec = res
+    kernel, x, noise_diag, L, z, vec = res
     g = jnp.reshape(gbar, (1,)) if vec else gbar  # (q,)
     n = L.shape[0]
     pad = (-n) % _BLOCK
     Lp = L
+    zp = z
     if pad:
         Lp = jnp.pad(L, ((0, pad), (0, pad))) + jnp.diag(jnp.concatenate(
             [jnp.zeros((n,), L.dtype), jnp.ones((pad,), L.dtype)]
         ))
-    T = _spd_inv_lower_from_chol(Lp, _BLOCK)[:n, :n]  # tril(K⁻¹)
+        zp = jnp.pad(z, ((0, pad), (0, 0)))
+    T, W = _spd_inv_lower_and_trtri(Lp, _BLOCK)
+    alpha = _mm(W.T, zp)[:n]  # α = L⁻ᵀ z = (K+Σ)⁻¹ δ, one thin GEMM
+    T = T[:n, :n]  # tril(K⁻¹)
     gsum = jnp.sum(g)
-    # Ā = ½ Σ_j ḡ_j α_j α_jᵀ − ½ (Σ ḡ) K⁻¹ is symmetric, and so is
-    # ∂K_ij/∂θ as a function (K_ij ≡ k(x_i, x_j) = k(x_j, x_i)), so the
-    # contraction ⟨Ā, ∂K⟩ may be computed with the cotangent FOLDED onto
-    # the lower triangle: C = 2·strict-tril(Ā) + diag(Ā). This skips the
-    # explicit K⁻¹ symmetrisation (a full N×N transpose copy) and, with
-    # the contraction phrased as one scalar jax.grad, lets XLA fuse the
-    # assembly into the kernel-derivative chain (the separate
-    # assemble→vjp pipeline measured ~10 full-N² passes).
-    A_low = 0.5 * (_mm(alpha * g[None, :], alpha.T) - gsum * T)
-    C = jnp.tril(A_low, -1) * 2.0 + jnp.diag(jnp.diagonal(A_low))
+    fused = _try_fused_contraction(kernel, x, noise_diag, alpha, g, T, gsum)
+    if fused is not None:
+        kbar, xbar, ndbar = fused
+    else:
+        # Ā = ½ Σ_j ḡ_j α_j α_jᵀ − ½ (Σ ḡ) K⁻¹ is symmetric, and so is
+        # ∂K_ij/∂θ as a function (K_ij ≡ k(x_i, x_j) = k(x_j, x_i)), so the
+        # contraction ⟨Ā, ∂K⟩ may be computed with the cotangent FOLDED onto
+        # the lower triangle: C = 2·strict-tril(Ā) + diag(Ā). This skips the
+        # explicit K⁻¹ symmetrisation (a full N×N transpose copy) and, with
+        # the contraction phrased as one scalar jax.grad, lets XLA fuse the
+        # assembly into the kernel-derivative chain (the separate
+        # assemble→vjp pipeline measured ~10 full-N² passes).
+        A_low = 0.5 * (_mm(alpha * g[None, :], alpha.T) - gsum * T)
+        C = jnp.tril(A_low, -1) * 2.0 + jnp.diag(jnp.diagonal(A_low))
 
-    def contraction(kernel_, x_, nd_):
-        return jnp.vdot(_build_gram(kernel_, x_, nd_), C)
+        def contraction(kernel_, x_, nd_):
+            return jnp.vdot(_build_gram(kernel_, x_, nd_), C)
 
-    kbar, xbar, ndbar = jax.grad(contraction, argnums=(0, 1, 2))(
-        kernel, x, noise_diag
-    )
+        kbar, xbar, ndbar = jax.grad(contraction, argnums=(0, 1, 2))(
+            kernel, x, noise_diag
+        )
     # ∂/∂δ_j = −ḡ_j α_j
     dbar = -(alpha * g[None, :])
     dbar = dbar[:, 0] if vec else dbar
     return kbar, xbar, ndbar, dbar
+
+
+def _try_fused_contraction(kernel, x, noise_diag, alpha, g, T, gsum):
+    """Dispatch the logpdf-backward contraction to the single-sweep Pallas
+    kernel (``pallas_gram.logpdf_contraction``) when the kernel peels to a
+    Scale/Transform chain over an isotropic base — the production
+    hyperparameter-MCMC/MLE family. Returns ``(kbar, xbar, ndbar)`` or
+    ``None`` (generic assemble-then-grad fallback: sums, products,
+    periodic, linear, ...). The Scale/Transform algebra itself is
+    differentiated by ``jax.vjp`` around the peel, so arbitrary transform
+    stacks (ARD, Linear, Function) keep exact cotangents."""
+    from ..kernels.base import ScaledKernel, TransformedKernel
+    from ..kernels.stationary import IsotropicKernel
+    from . import pallas_gram
+    from .distance import as_inputs
+
+    k = kernel
+    while isinstance(k, (ScaledKernel, TransformedKernel)):
+        k = k.kernel
+    if not isinstance(k, IsotropicKernel):
+        return None
+    n = T.shape[0]
+    if not (pallas_gram._INTERPRET or jax.default_backend() == "tpu"):
+        return None
+    if T.dtype != jnp.float32 or n < _MIN_N:
+        return None
+
+    def peel(kernel_, x_):
+        s2 = jnp.asarray(1.0, jnp.float32)
+        kk = kernel_
+        xx = as_inputs(x_)
+        while isinstance(kk, (ScaledKernel, TransformedKernel)):
+            if isinstance(kk, ScaledKernel):
+                s2 = s2 * kk.variance
+                kk = kk.kernel
+            else:
+                xx = kk.transform(xx)
+                kk = kk.kernel
+        return s2.astype(jnp.float32), xx.astype(jnp.float32), kk
+
+    (s2, xprime, base_k), pull = jax.vjp(peel, kernel, x)
+    ag = (alpha * g[None, :]).astype(jnp.float32)
+    s2bar, base_bar, xpbar = pallas_gram.logpdf_contraction(
+        base_k, xprime, s2, ag, alpha.astype(jnp.float32), gsum, T
+    )
+    base_bar = jax.tree_util.tree_map(
+        lambda b, p: jnp.asarray(b, p.dtype), base_bar, base_k
+    )
+    kbar, xbar = pull((jnp.asarray(s2bar, s2.dtype), xpbar, base_bar))
+    ndbar = 0.5 * (jnp.sum(alpha * alpha * g[None, :], axis=1)
+                   - gsum * jnp.diagonal(T)).astype(noise_diag.dtype)
+    return kbar, xbar, ndbar
 
 
 gram_logpdf_core.defvjp(_gram_logpdf_fwd, _gram_logpdf_bwd)

@@ -392,3 +392,38 @@ def test_fused_gram_canonicalizes_1d_inputs_with_transforms(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(L), np.asarray(jax.lax.linalg.cholesky(K)), atol=2e-5
     )
+
+
+@pytest.mark.parametrize("sym", [True, False])
+def test_fused_gram_bwd_kernel_all_cotangents(rng, sym):
+    # the fused Pallas BACKWARD sweep (r4): hyperparameter + x/z cotangents
+    # against the XLA formulation, for parameterized kernels and an
+    # arbitrary (non-symmetric) cotangent matrix
+    import abstractgps_tpu as agp
+
+    for k in [agp.RationalQuadraticKernel(alpha=1.7),
+              agp.SqExponentialKernel(),
+              agp.Matern32Kernel(),
+              agp.GammaExponentialKernel(gamma=1.3)]:
+        n, m, d = 40, 40 if sym else 28, 3
+        x = jnp.asarray(rng.uniform(size=(n, d)), jnp.float32)
+        z = jnp.asarray(rng.uniform(size=(m, d)), jnp.float32)
+        C = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+
+        def fused(k_, x_, z_=None):
+            zz = x_ if sym else z_
+            return jnp.vdot(pallas_gram._fused(sym, k_, x_, zz), C)
+
+        def xla(k_, x_, z_=None):
+            return jnp.vdot(
+                pallas_gram._xla_isotropic_gram(k_, x_, z_, sym), C)
+
+        args = (k, x) if sym else (k, x, z)
+        nums = (0, 1) if sym else (0, 1, 2)
+        gf = jax.grad(fused, argnums=nums)(*args)
+        gx = jax.grad(xla, argnums=nums)(*args)
+        for a, b in zip(jax.tree_util.tree_leaves(gf),
+                        jax.tree_util.tree_leaves(gx)):
+            err = np.abs(np.asarray(a) - np.asarray(b)).max()
+            scale = np.abs(np.asarray(b)).max() + 1e-6
+            assert err < 2e-4 * scale + 1e-5, (type(k).__name__, sym, err)
