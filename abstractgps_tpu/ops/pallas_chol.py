@@ -25,8 +25,10 @@ triangle plus half the diagonal. The rule is linear in the tangent, so JAX
 derives the reverse mode by transposition — no refactorization and no
 fallback to ``lax.linalg`` on the backward pass.
 
-``blocked_solve_lower`` applies the same invert-diagonal-block + GEMM
-strategy to large triangular solves (reference ``U' \\ B`` sites).
+``solve_lower_wide`` / ``solve_upper_wide`` handle large fat-RHS
+triangular solves (reference ``U' \\ B`` sites) as trtri + one GEMM —
+substitution-style solves re-read the running RHS once per panel and
+measured 7-10× off the GEMM roofline at N=8192, M=4096.
 """
 
 from __future__ import annotations
@@ -708,6 +710,19 @@ def _trmm_ll(Wtri, X):
     return jnp.concatenate([top, bot], axis=0)
 
 
+def _trmm_ul(Wtri, X):
+    """``Wtriᵀ @ X`` with Wtri LOWER-triangular (upper-left TRMM; the
+    transposed operand rides the GEMM's dimension numbers — no copy)."""
+    s = Wtri.shape[0]
+    if s < _TRMM_SPLIT:
+        return _mm(Wtri.T, X)
+    h = s // 2
+    E, F, G = Wtri[:h, :h], Wtri[h:, :h], Wtri[h:, h:]
+    top = _trmm_ul(E, X[:h]) + _mm(F.T, X[h:])
+    bot = _trmm_ul(G, X[h:])
+    return jnp.concatenate([top, bot], axis=0)
+
+
 def _inv_lower_blocked_rowpanel(L: jax.Array, block: int) -> jax.Array:
     """Row-panel forward-substitution trtri (non-power-of-two fallback)."""
     n = L.shape[-1]
@@ -932,38 +947,95 @@ gram_logpdf_core.defvjp(_gram_logpdf_fwd, _gram_logpdf_bwd)
 
 
 # ---------------------------------------------------------------------------
-# Blocked TRSM: solve L X = B with diagonal-block inverses + GEMMs.
+# Wide TRSM: invert-then-multiply (trtri + one GEMM).
 # ---------------------------------------------------------------------------
 
 
-def blocked_solve_lower(L: jax.Array, B: jax.Array, block: int = _BLOCK):
-    """Solve ``L X = B`` (L lower-triangular) by block forward substitution.
+_WIDE_RHS = 256  # trtri amortizes over this many RHS columns
 
-    Each diagonal block is inverted once (O(B³)); off-diagonal updates are
-    GEMMs, so the whole solve is MXU-bound. Used for the O(N²·M) posterior
-    whitening solves (reference ``C.U' \\ C_xcond_x``, §3.3).
+
+def should_use_wide_solve(L: jax.Array, B: jax.Array) -> bool:
+    """Gate for ``solve_lower_wide``: TPU, f32, large N, FAT rhs.
+
+    Measured at N=8192, M=4096 (the posterior-prediction whitening solve):
+    XLA's triangular solve takes 40.8 ms and a block-forward-substitution
+    variant 30.8 ms — both ~7-10× off the 4.4 ms GEMM roofline, dominated
+    by re-reading/writing the (N, M) running RHS once per panel. Inverting
+    L first (the doubling trtri already at roofline from the logpdf
+    backward, ~4-5 ms) turns the whole solve into ONE MXU GEMM; total
+    ~10 ms, 4× faster. Thin RHS (q < {wide}) keeps the XLA substitution —
+    there the trtri cost dominates.
     """
+    if not _ENABLED:
+        return False
+    if not _INTERPRET and jax.default_backend() != "tpu":
+        return False
+    if L.ndim != 2 or L.dtype != jnp.float32 or B.dtype != jnp.float32:
+        return False
+    q = 1 if B.ndim == 1 else B.shape[-1]
+    return L.shape[-1] >= _MIN_N and q >= _WIDE_RHS
+
+
+should_use_wide_solve.__doc__ = should_use_wide_solve.__doc__.format(
+    wide=_WIDE_RHS
+)
+
+
+def _padded_tri(L: jax.Array, block: int):
     n = L.shape[-1]
-    b_vec = B.ndim == 1
-    Bm = B[:, None] if b_vec else B
     pad = (-n) % block
     if pad:
-        L = jnp.pad(L, ((0, pad), (0, pad))) + jnp.diag(
-            jnp.concatenate([jnp.zeros((n,), L.dtype), jnp.ones((pad,), L.dtype)])
-        )
-        Bm = jnp.pad(Bm, ((0, pad), (0, 0)))
-    np_ = n + pad
-    nb = np_ // block
+        L = jnp.pad(L, ((0, pad), (0, pad))) + jnp.diag(jnp.concatenate(
+            [jnp.zeros((n,), L.dtype), jnp.ones((pad,), L.dtype)]
+        ))
+    return L, n
 
-    xs = []
-    R = Bm  # remaining rhs rows, shrinks by one block per step
-    for k in range(nb):
-        Lkk = L[k * block:(k + 1) * block, k * block:(k + 1) * block]
-        Xk = _mm(_inv_lower(Lkk), R[:block])
-        rest = R.shape[0] - block
-        if rest > 0:
-            L_below = L[(k + 1) * block:, k * block:(k + 1) * block]
-            R = R[block:] - _mm(L_below, Xk)
-        xs.append(Xk)
-    X = jnp.concatenate(xs, axis=0)[:n]
-    return X[:, 0] if b_vec else X
+
+@jax.custom_vjp
+def solve_lower_wide(L: jax.Array, B: jax.Array) -> jax.Array:
+    """``L⁻¹ B`` for a fat RHS via trtri + GEMM (see
+    ``should_use_wide_solve``). Reference semantics ``U' \\ B``
+    (src/util/common_covmat_ops.jl:54-60) at TPU scale."""
+    Lp, n = _padded_tri(L, _BLOCK)
+    W = _inv_lower_blocked(Lp, _BLOCK)[:n, :n]
+    return _trmm_ll(W, B)
+
+
+@jax.custom_vjp
+def solve_upper_wide(L: jax.Array, B: jax.Array) -> jax.Array:
+    """``L⁻ᵀ B`` for a fat RHS via trtri + GEMM (reference ``U \\ B``)."""
+    Lp, n = _padded_tri(L, _BLOCK)
+    W = _inv_lower_blocked(Lp, _BLOCK)[:n, :n]
+    return _trmm_ul(W, B)
+
+
+def _solve_upper_wide_fwd(L, B):
+    X = solve_upper_wide(L, B)
+    return X, (L, X)
+
+
+def _solve_upper_wide_bwd(res, Xbar):
+    # adjoint of X = L⁻ᵀB: B̄ = L⁻¹ X̄, L̄ = −tril(X B̄ᵀ)
+    L, X = res
+    Bbar = solve_lower_wide(L, Xbar)
+    Lbar = -jnp.tril(_mm(X, Bbar.T))
+    return Lbar, Bbar
+
+
+solve_upper_wide.defvjp(_solve_upper_wide_fwd, _solve_upper_wide_bwd)
+
+
+def _solve_lower_wide_fwd(L, B):
+    X = solve_lower_wide(L, B)
+    return X, (L, X)
+
+
+def _solve_lower_wide_bwd(res, Xbar):
+    # standard triangular-solve adjoint: B̄ = L⁻ᵀ X̄, L̄ = −tril(B̄ Xᵀ)
+    L, X = res
+    Bbar = solve_upper_wide(L, Xbar)
+    Lbar = -jnp.tril(_mm(Bbar, X.T))
+    return Lbar, Bbar
+
+
+solve_lower_wide.defvjp(_solve_lower_wide_fwd, _solve_lower_wide_bwd)

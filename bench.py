@@ -169,6 +169,22 @@ def main():
     t_nuts = time.perf_counter() - t0
     nuts_rate = n_chains * n_draws / t_nuts
 
+    # sustained SEGMENTED rate at the same config: segment_size bounds each
+    # device execution (the preemptible-pod / tunneled-chip mode). The gap
+    # vs the one-program rate is the per-segment host round-trip cost —
+    # reported so the 3 NUTS numbers in this artifact explain each other.
+    def run_nuts_seg():
+        return run_mcmc(logjoint, init, jax.random.PRNGKey(1),
+                        num_chains=n_chains, num_samples=n_draws,
+                        num_warmup=n_warm, max_depth=8, segment_size=16)
+
+    res_s = run_nuts_seg()
+    jax.block_until_ready(res_s.positions)
+    t0 = time.perf_counter()
+    res_s = run_nuts_seg()
+    jax.block_until_ready(res_s.positions)
+    nuts_rate_seg = n_chains * n_draws / (time.perf_counter() - t0)
+
     # chip CAPACITY: same model at 1024 chains — the 64-chain config is
     # VPU-issue-overhead-bound (each op touches only (64, dim) elements);
     # wider batches fill the vector unit (measured ~8x at 16x chains)
@@ -190,6 +206,65 @@ def main():
     jax.block_until_ready(res_b.positions)
     nuts_rate_big = nc_big * n_draws / (time.perf_counter() - t0)
 
+    # ---- hyperparameter-NUTS at N=2048: the Cholesky-bound NUTS workload -
+    # (BASELINE's "logpdf under MCMC" meaning: every leapfrog re-enters
+    # gram->chol->logpdf under AD at full N)
+    n_h = 2048
+    x_h = jnp.asarray(rng.uniform(size=(n_h, D)), jnp.float32)
+    y_h = jnp.asarray(rng.normal(size=(n_h,)), jnp.float32)
+
+    def hyper_logdens(q):
+        s2, ell, nv = jnp.exp(q[0]), jnp.exp(q[1]), jnp.exp(q[2])
+        k = s2 * agp.with_lengthscale(agp.Matern32Kernel(), ell)
+        lp = agp.GP(k)(x_h, nv).logpdf(y_h)
+        return lp - 0.5 * jnp.sum(q * q)  # weak N(0,1) prior on log params
+
+    nh_chains, nh_draws, nh_warm = 2, 8, 8
+    init_h = init_chain_positions(
+        jax.random.PRNGKey(4), jnp.zeros((3,), jnp.float32),
+        num_chains=nh_chains, jitter=0.05,
+    )
+
+    def run_hyper():
+        return run_mcmc(hyper_logdens, init_h, jax.random.PRNGKey(5),
+                        num_chains=nh_chains, num_samples=nh_draws,
+                        num_warmup=nh_warm, max_depth=5)
+
+    res_h = run_hyper()
+    jax.block_until_ready(res_h.positions)
+    assert np.isfinite(np.asarray(res_h.logdens)).all()
+    t0 = time.perf_counter()
+    res_h = run_hyper()
+    jax.block_until_ready(res_h.positions)
+    hyper_rate = nh_chains * nh_draws / (time.perf_counter() - t0)
+
+    # ---- posterior prediction: mean_and_var at N=8192, M=4096 ------------
+    M = 4096
+    xs_p = jnp.asarray(rng.uniform(size=(M, D)), dtype=jnp.float32)
+
+    def pred_once(theta, x, y, xs):
+        sigma2, ell = theta[0], theta[1]
+        kernel = sigma2 * agp.with_lengthscale(agp.Matern32Kernel(), ell)
+        post = agp.posterior(agp.GP(kernel)(x, 0.1), y)
+        mu, var = post.mean_and_var(xs)
+        return jnp.sum(mu) + jnp.sum(var)
+
+    @jax.jit
+    def pred_batched(x, y, xs, thetas):
+        def body(c, t):
+            return c + pred_once(t, x, y, xs), None
+
+        tot, _ = jax.lax.scan(body, jnp.float32(0.0), thetas[:4])
+        return tot
+
+    warm_p = float(pred_batched(x, y, xs_p, thetas))
+    assert np.isfinite(warm_p), warm_p
+    t_pred = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(pred_batched(x, y, xs_p, thetas))
+        t_pred = min(t_pred, (time.perf_counter() - t0) / 4)
+
     flops_fwd = cholesky_flops(N) + gram_flops(N, N, D)
     print(
         json.dumps(
@@ -199,9 +274,17 @@ def main():
                 "unit": "evals/s",
                 "vs_baseline": round(t_naive / t_ours, 3),
                 "grad_evals_per_s": round(1.0 / t_grad, 3),
+                "pred_evals_per_s": round(1.0 / t_pred, 3),
+                "pred_config": f"posterior mean_and_var N={N} M={M}",
                 "nuts_samples_per_s_chip": round(nuts_rate, 1),
+                "nuts_samples_per_s_chip_segmented": round(nuts_rate_seg, 1),
                 "nuts_samples_per_s_chip_1024c": round(nuts_rate_big, 1),
                 "nuts_config": f"latent-poisson n={n_lat} chains={n_chains} depth<=8",
+                "hyper_nuts_samples_per_s_chip": round(hyper_rate, 2),
+                "hyper_nuts_config": (
+                    f"hyperparameter NUTS N={n_h} chains={nh_chains} depth<=5 "
+                    "(Cholesky-bound: one gram+chol+logpdf grad per leapfrog)"
+                ),
                 "tflops": round(flops_fwd / t_ours / 1e12, 2),
                 "pct_f32_roof": round(100 * flops_fwd / t_ours / TPU_V5E_PEAK_F32, 1),
             }

@@ -309,26 +309,51 @@ def test_finite_gp_routes_through_fused_path(rng, monkeypatch):
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("n,m", [(64, 16), (200, 33)])
-def test_blocked_solve_lower(rng, n, m):
+@pytest.mark.parametrize("n,m", [(96, 48), (200, 33)])  # 200: pad path
+def test_wide_solve_matches_xla(rng, n, m):
+    # trtri+GEMM solve (the posterior-prediction whitening path): values
+    # AND the custom adjoints vs XLA's triangular solve
     A = _spd(rng, n)
     L = jax.lax.linalg.cholesky(A)
     B = jnp.asarray(rng.normal(size=(n, m)), dtype=jnp.float32)
-    X = pallas_chol.blocked_solve_lower(L, B, block=64)
+
+    for wide, xla_t in [(pallas_chol.solve_lower_wide, False),
+                        (pallas_chol.solve_upper_wide, True)]:
+        X = wide(L, B)
+        X_ref = jax.lax.linalg.triangular_solve(
+            L, B, left_side=True, lower=True, transpose_a=xla_t)
+        np.testing.assert_allclose(np.asarray(X), np.asarray(X_ref),
+                                   atol=2e-4, rtol=2e-4)
+        # adjoints: same scalar loss through both implementations
+        w = jnp.asarray(rng.normal(size=(n, m)), dtype=jnp.float32)
+        gL, gB = jax.grad(
+            lambda L_, B_: jnp.vdot(wide(L_, B_), w), argnums=(0, 1)
+        )(L, B)
+        gL_r, gB_r = jax.grad(
+            lambda L_, B_: jnp.vdot(jax.lax.linalg.triangular_solve(
+                L_, B_, left_side=True, lower=True, transpose_a=xla_t), w),
+            argnums=(0, 1),
+        )(L, B)
+        np.testing.assert_allclose(np.asarray(jnp.tril(gL)),
+                                   np.asarray(jnp.tril(gL_r)),
+                                   atol=5e-3, rtol=5e-3)
+        np.testing.assert_allclose(np.asarray(gB), np.asarray(gB_r),
+                                   atol=5e-4, rtol=5e-3)
+
+
+def test_solve_lower_dispatches_wide(rng, monkeypatch):
+    monkeypatch.setattr(pallas_chol, "_MIN_N", 64)
+    monkeypatch.setattr(pallas_chol, "_WIDE_RHS", 32)
+    A = _spd(rng, 128)
+    L = jax.lax.linalg.cholesky(A)
+    B = jnp.asarray(rng.normal(size=(128, 40)), dtype=jnp.float32)
+    assert pallas_chol.should_use_wide_solve(L, B)
+    X = covmat.solve_lower(L, B)
     X_ref = jax.lax.linalg.triangular_solve(L, B, left_side=True, lower=True)
     np.testing.assert_allclose(np.asarray(X), np.asarray(X_ref),
-                               atol=1e-4, rtol=1e-4)
-
-
-def test_blocked_solve_lower_vector(rng):
-    A = _spd(rng, 100)
-    L = jax.lax.linalg.cholesky(A)
-    b = jnp.asarray(rng.normal(size=(100,)), dtype=jnp.float32)
-    x = pallas_chol.blocked_solve_lower(L, b, block=64)
-    assert x.shape == (100,)
-    np.testing.assert_allclose(
-        np.asarray(L @ x), np.asarray(b), atol=1e-4, rtol=1e-4
-    )
+                               atol=2e-4, rtol=2e-4)
+    # thin RHS stays on the XLA path
+    assert not pallas_chol.should_use_wide_solve(L, B[:, :4])
 
 
 # ---------------------------------------------------------------------------
