@@ -84,6 +84,7 @@ def test_cg_posterior_conformance(data):
     check_internal(k2, post, x, z)
 
 
+@pytest.mark.slow
 def test_markov_posterior_conformance(key):
     # matrix-free backend #2: the state-space posterior (an AbstractGP via
     # smoother-gain cross-covariances) on a 1-D Matern problem
