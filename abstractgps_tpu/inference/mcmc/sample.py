@@ -72,6 +72,7 @@ def run_mcmc(
     mesh=None,
     mesh_axis: str = "dp",
     segment_size: int | None = None,
+    program_cache: dict | None = None,
     _program_only: bool = False,
 ) -> MCMCResult:
     """Run NUTS (or fixed-length HMC) over ``logdensity``.
@@ -95,7 +96,19 @@ def run_mcmc(
     executions — results are BIT-IDENTICAL to the unsegmented run (same
     scan recurrence, merely cut at segment boundaries; tested), at the
     cost of one host round-trip per segment.
+
+    ``program_cache``: optional dict the segmented path stores its jitted
+    segment programs in. Pass the SAME dict to repeated calls with an
+    identical configuration (same logdensity/shapes/settings) to skip
+    re-tracing the sampler each call — tracing a large-N NUTS program
+    costs seconds, which otherwise dominates repeated short runs.
     """
+    if _program_only and segment_size is not None:
+        raise ValueError(
+            "_program_only exposes the fused one-program path; it cannot "
+            "be combined with segment_size (the segmented path is a host "
+            "loop of separate programs)"
+        )
     flat0, unravel = _flatten_chains(init_position, num_chains)
     n_chains = flat0.shape[0]
     dtype = flat0.dtype
@@ -255,12 +268,19 @@ def run_mcmc(
         )
     else:
         # segmented path: bounded device executions (see docstring)
-        carry = jax.jit(
+        cache = program_cache if program_cache is not None else {}
+
+        def _cached(key_, build):
+            if key_ not in cache:
+                cache[key_] = build()
+            return cache[key_]
+
+        carry = _cached("warmup_init", lambda: jax.jit(
             _shard_chains(jax.vmap(warmup_init), (False, False), None)
-        )(chain_keys[:, 0], flat0)
-        warm_seg = jax.jit(_shard_chains(
+        ))(chain_keys[:, 0], flat0)
+        warm_seg = _cached("warmup_scan", lambda: jax.jit(_shard_chains(
             jax.vmap(warmup_scan, in_axes=(0, None)), (False, True), None
-        ))
+        )))
         pos = 0
         for seg in _chunks(num_warmup, segment_size):
             xs = (is_window[pos:pos + seg], is_window_end[pos:pos + seg])
@@ -271,7 +291,7 @@ def run_mcmc(
 
         scarry = ((chain_keys[:, 1], states), step_sizes, inv_masses)
         seg_outs = []
-        compiled = {}  # one compiled program per distinct segment length
+        compiled = cache  # one compiled program per distinct segment length
         for seg in _chunks(num_samples, segment_size):
             if seg not in compiled:
                 compiled[seg] = jax.jit(_shard_chains(

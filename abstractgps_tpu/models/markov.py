@@ -358,9 +358,10 @@ def _pairwise_fcov(H, Gs, Ps):
 
     ``F[i, j] = Hᵀ (G_i … G_{j−1} P_j^s) H`` (i ≤ j), symmetrised. One
     ``lax.scan`` over columns with a carried (n, D, D) product table —
-    O(n²·p³) work for an inherently O(n²) output; this is the
-    presentation/conformance path (marginals stay O(n·p³) via
-    ``markov_mean_and_var``).
+    O(n²·p³) work for an inherently O(n²) output. ``_posterior_joint``
+    pre-collapses the training timeline into between-QUERY segment
+    products, so n here is the number of query points, never the
+    training size (marginals stay O(n·p³) via ``markov_mean_and_var``).
     """
     n, D = Ps.shape[0], Ps.shape[1]
     eye = jnp.eye(D, dtype=Ps.dtype)
@@ -524,7 +525,17 @@ def markov_mean_and_var(fx, y: jax.Array, x_test, parallel: bool = False):
 
 def _posterior_joint(fx, y, x_test, parallel: bool = False):
     """Posterior mean AND full covariance of f at ``x_test`` — one
-    filter+smoother pass plus the pairwise gain products."""
+    filter+smoother pass plus pairwise gain products over the QUERY
+    points only.
+
+    The pairwise table is O(M²) in the M query points, never in the
+    training size: one O(n·p³) scan over the merged timeline collapses
+    each between-query gain chain into a single segment product
+    ``S_a = G_{q_a} … G_{q_{a+1}−1}`` (resetting the running product at
+    every query position), and ``_pairwise_fcov`` then runs over the M
+    segment products — total O((N+M)·p³ + M²·p³), honouring the class
+    contract that nothing N×N over the training set is ever formed.
+    """
     t_s, y_s, r_s, o_s, prior_mean_s, order, n_train, dtype = _merged_timeline(
         fx, y, x_test
     )
@@ -533,9 +544,27 @@ def _posterior_joint(fx, y, x_test, parallel: bool = False):
     m_f, P_f, m_p, P_p, _ = run(A, Q, H, y_s, r_s, o_s)
     ms, Ps, Gs = _rts_smoother_gains(A, m_f, P_f, m_p, P_p)
     mean_s = ms @ H + prior_mean_s
-    F = _pairwise_fcov(H, Gs, Ps)
-    sel = jnp.argsort(order)[n_train:]
-    return mean_s[sel], F[sel][:, sel]
+
+    sel = jnp.argsort(order)[n_train:]   # merged positions, USER order
+    ord_q = jnp.argsort(sel)             # queries sorted by timeline position
+    qpos = sel[ord_q]
+    n_all = t_s.shape[0]
+    D = Ps.shape[-1]
+    eye = jnp.eye(D, dtype=Ps.dtype)
+    Gpad = jnp.concatenate([Gs, eye[None]], axis=0)  # G_k links k → k+1
+    is_q = jnp.zeros((n_all,), bool).at[qpos].set(True)
+
+    def step(U, inp):
+        Gk, qk = inp
+        out = U  # ∏_{t=lastq(k)}^{k−1} G_t (carry at entrance of step k)
+        U_new = jnp.where(qk, Gk, U @ Gk)  # reset the chain at queries
+        return U_new, out
+
+    _, prods = lax.scan(step, eye, (Gpad, is_q))
+    segs = prods[qpos][1:]               # (M−1, D, D) between-query products
+    Fq = _pairwise_fcov(H, segs, Ps[qpos])
+    inv_q = jnp.argsort(ord_q)
+    return mean_s[sel], Fq[inv_q][:, inv_q]
 
 
 @partial(
@@ -555,7 +584,9 @@ class MarkovPosteriorGP(AbstractGP):
     ``Cov(f(t_i), f(t_j)) = Hᵀ G_i … G_{j−1} P_j^s H``). Being an
     ``AbstractGP``, it composes with the whole machinery — projection,
     further conditioning, conformance suites (posteriors-are-GPs,
-    src/posterior_gp.jl pattern).
+    src/posterior_gp.jl pattern). ``cov`` between M query points costs
+    O((N+M)·p³ + M²·p³): the training chain collapses into between-query
+    gain products in one scan, and only the M×M query table is dense.
     """
 
     fx: object

@@ -122,7 +122,19 @@ def solve_upper(L: jax.Array, B: jax.Array) -> jax.Array:
 
 
 def chol_solve(L: jax.Array, B: jax.Array) -> jax.Array:
-    """Solve ``A X = B`` given ``L = chol(A)`` (reference ``C \\ B``)."""
+    """Solve ``A X = B`` given ``L = chol(A)`` (reference ``C \\ B``).
+
+    Fat RHS at TPU scale shares ONE triangular inverse between the two
+    solves (``pallas_chol.chol_solve_wide``) — the two-wide-solve
+    composition would pay the ~N³/3 trtri twice.
+    """
+    from . import pallas_chol
+
+    b_vec = B.ndim == 1
+    Bm = B[:, None] if b_vec else B
+    if pallas_chol.should_use_wide_solve(L, Bm):
+        X = pallas_chol.chol_solve_wide(L, Bm)
+        return X[:, 0] if b_vec else X
     return solve_upper(L, solve_lower(L, B))
 
 

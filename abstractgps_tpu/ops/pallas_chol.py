@@ -976,9 +976,10 @@ def should_use_wide_solve(L: jax.Array, B: jax.Array) -> bool:
     return L.shape[-1] >= _MIN_N and q >= _WIDE_RHS
 
 
-should_use_wide_solve.__doc__ = should_use_wide_solve.__doc__.format(
-    wide=_WIDE_RHS
-)
+if should_use_wide_solve.__doc__:  # absent under python -OO
+    should_use_wide_solve.__doc__ = should_use_wide_solve.__doc__.format(
+        wide=_WIDE_RHS
+    )
 
 
 def _padded_tri(L: jax.Array, block: int):
@@ -1007,6 +1008,35 @@ def solve_upper_wide(L: jax.Array, B: jax.Array) -> jax.Array:
     Lp, n = _padded_tri(L, _BLOCK)
     W = _inv_lower_blocked(Lp, _BLOCK)[:n, :n]
     return _trmm_ul(W, B)
+
+
+@jax.custom_vjp
+def chol_solve_wide(L: jax.Array, B: jax.Array) -> jax.Array:
+    """``(L Lᵀ)⁻¹ B`` for a fat RHS: ONE doubling trtri + two triangular
+    TRMMs (``X = L⁻ᵀ(L⁻¹B)``). The naive ``solve_upper(L, solve_lower(L,
+    B))`` composition would run the ~N³/3 trtri twice (once per wide
+    solve); ``FiniteGP.invcov`` / ``covmat.chol_solve`` route here at
+    TPU scale instead."""
+    Lp, n = _padded_tri(L, _BLOCK)
+    W = _inv_lower_blocked(Lp, _BLOCK)[:n, :n]
+    return _trmm_ul(W, _trmm_ll(W, B))
+
+
+def _chol_solve_wide_fwd(L, B):
+    X = chol_solve_wide(L, B)
+    return X, (L, X)
+
+
+def _chol_solve_wide_bwd(res, Xbar):
+    # X = K⁻¹B, K = LLᵀ: B̄ = K⁻¹X̄; L̄ = −tril((S Xᵀ + X Sᵀ) L), S = B̄
+    L, X = res
+    S = chol_solve_wide(L, Xbar)
+    M = _mm(S, X.T)
+    Lbar = -jnp.tril(_mm(M + M.T, L))
+    return Lbar, S
+
+
+chol_solve_wide.defvjp(_chol_solve_wide_fwd, _chol_solve_wide_bwd)
 
 
 def _solve_upper_wide_fwd(L, B):

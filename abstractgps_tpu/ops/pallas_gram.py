@@ -68,6 +68,54 @@ def _xla_isotropic_gram(kernel, x, z, symmetric):
     return kernel._apply_sqdist(d2)
 
 
+
+def _tile_d2(xt, zt, i, j, symmetric):
+    """Shared tile-level d² rebuild (MXU dot + norms, exact-zero global
+    diagonal when symmetric). Returns (d2, rows, cols) with the global
+    index grids. Used by the forward body, the generic backward sweep,
+    and the logpdf-contraction kernel — keep them in sync HERE."""
+    HI = jax.lax.Precision.HIGHEST
+    gmm = jax.lax.dot_general(
+        xt, zt, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=HI,
+    )
+    nx = jnp.sum(xt * xt, axis=1, keepdims=True)
+    nz = jnp.sum(zt * zt, axis=1, keepdims=True).T
+    d2 = jnp.maximum(nx + nz - 2.0 * gmm, 0.0)
+    rows = i * _TILE_N + jax.lax.broadcasted_iota(
+        jnp.int32, (_TILE_N, _TILE_M), 0
+    )
+    cols = j * _TILE_M + jax.lax.broadcasted_iota(
+        jnp.int32, (_TILE_N, _TILE_M), 1
+    )
+    if symmetric:
+        d2 = jnp.where(rows == cols, 0.0, d2)
+    return d2, rows, cols
+
+
+def _pack_scalar_row(values):
+    """Pack a list of scalars into row 0 of an (8, 128) accumulator tile
+    (Mosaic block shapes must be (8k, 128m))."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    row = jnp.zeros((8, 128), jnp.float32)
+    for li, v in enumerate(values):
+        row = row + jnp.where((lane == li) & (sub == 0), v, 0.0)
+    return row
+
+
+def _apply_sqdist_fn(treedef):
+    """The elementwise kernel map reconstructed from SMEM leaves, output
+    pinned to f32 (unflatten re-runs __post_init__ coercion, which under
+    x64 test configs promotes the f32 SMEM scalars to f64)."""
+
+    def apply_fn(leaves_, d2_):
+        k_obj = jax.tree_util.tree_unflatten(treedef, leaves_)
+        return k_obj._apply_sqdist(d2_).astype(jnp.float32)
+
+    return apply_fn
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused(symmetric, kernel, x, z):
     return _fused_fwd_impl(symmetric, kernel, x, z)
@@ -94,35 +142,15 @@ def _fused_fwd_impl(symmetric, kernel, x, z):
         j = pl.program_id(1)
         xt = x_ref[:]  # (TN, D)
         zt = z_ref[:]  # (TM, D)
-        # Pin the dot precision: Mosaic rejects the ambient HIGH set by the
-        # library-wide precision context (ops.precision), and DEFAULT would
-        # run bf16 passes (~1e-2 gram error — fatal for Cholesky stability).
-        # HIGHEST = exact f32 MXU passes; measured max err 2e-6 vs the
-        # XLA-highest formulation at N=1024.
-        g = jax.lax.dot_general(
-            xt, zt,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        # The dot precision inside _tile_d2 is pinned to HIGHEST: Mosaic
+        # rejects the ambient HIGH set by the library-wide precision
+        # context (ops.precision), and DEFAULT would run bf16 passes
+        # (~1e-2 gram error — fatal for Cholesky stability). HIGHEST =
+        # exact f32 MXU passes; measured max err 2e-6 vs XLA at N=1024.
+        d2, _, _ = _tile_d2(xt, zt, i, j, symmetric)
+        o_ref[:] = _apply_sqdist_fn(treedef)(
+            [r[0, 0] for r in param_refs], d2
         )
-        nx = jnp.sum(xt * xt, axis=1, keepdims=True)      # (TN, 1)
-        nz = jnp.sum(zt * zt, axis=1, keepdims=True).T    # (1, TM)
-        d2 = jnp.maximum(nx + nz - 2.0 * g, 0.0)
-        if symmetric:
-            # exact zeros on the global diagonal
-            rows = i * _TILE_N + jax.lax.broadcasted_iota(
-                jnp.int32, (_TILE_N, _TILE_M), 0
-            )
-            cols = j * _TILE_M + jax.lax.broadcasted_iota(
-                jnp.int32, (_TILE_N, _TILE_M), 1
-            )
-            d2 = jnp.where(rows == cols, 0.0, d2)
-        k_obj = jax.tree_util.tree_unflatten(
-            treedef, [r[0, 0] for r in param_refs]
-        )
-        # unflatten re-runs __post_init__ coercion, which under x64 test
-        # configs promotes the f32 SMEM scalars to f64 — pin the output
-        o_ref[:] = k_obj._apply_sqdist(d2).astype(jnp.float32)
 
     grid = (np_ // _TILE_N, mp_ // _TILE_M)
     out = pl.pallas_call(
@@ -150,7 +178,8 @@ def _fused_vjp_fwd(symmetric, kernel, x, z):
     return out, (kernel, x, z)
 
 
-def _bwd_pass(symmetric, kernel, x, z, C, transpose_c, want_leaves):
+def _bwd_pass(symmetric, kernel, x, z, C, transpose_c, want_leaves,
+              single_sym=False):
     """One fused backward sweep over the tile grid: returns the cotangent
     of the ROW operand ``x`` (and, when ``want_leaves``, the kernel
     hyperparameter cotangents).
@@ -168,6 +197,13 @@ def _bwd_pass(symmetric, kernel, x, z, C, transpose_c, want_leaves):
     (``transpose_c``) — two passes total, each one N² HBM read, replacing
     the XLA re-derivation chain that cost ~8-10 N² passes (round-3 judge
     item; measured ~5-6 ms of the N=8192 grad eval).
+
+    ``single_sym``: the symmetric-gram case (z IS x) collapses to ONE
+    sweep: each tile also reads the mirrored cotangent block C[j,i] and
+    uses ``C + Cᵀ`` for the input cotangent (d² is symmetric, so the
+    leaf bars from the combined cotangent are exactly doubled — halved
+    on accumulation); the result is the TOTAL x̄, and the caller returns
+    a zero z̄.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -191,7 +227,11 @@ def _bwd_pass(symmetric, kernel, x, z, C, transpose_c, want_leaves):
 
     def body(*refs):
         param_refs = refs[:n_leaves]
-        x_ref, z_ref, c_ref, xbar_ref, leaf_ref = refs[n_leaves:]
+        if single_sym:
+            (x_ref, z_ref, c_ref, c2_ref,
+             xbar_ref, leaf_ref) = refs[n_leaves:]
+        else:
+            x_ref, z_ref, c_ref, xbar_ref, leaf_ref = refs[n_leaves:]
         i = pl.program_id(0)
         j = pl.program_id(1)
 
@@ -203,31 +243,13 @@ def _bwd_pass(symmetric, kernel, x, z, C, transpose_c, want_leaves):
         xt = x_ref[:]  # (TN, D)
         zt = z_ref[:]  # (TM, D)
         Ct = c_ref[:].T if transpose_c else c_ref[:]  # (TN, TM)
+        if single_sym:
+            Ct = Ct + c2_ref[:].T  # + mirrored block: C + C^T in one pass
         HI = jax.lax.Precision.HIGHEST
-        gmm = jax.lax.dot_general(
-            xt, zt, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=HI,
-        )
-        nx = jnp.sum(xt * xt, axis=1, keepdims=True)
-        nz = jnp.sum(zt * zt, axis=1, keepdims=True).T
-        d2 = jnp.maximum(nx + nz - 2.0 * gmm, 0.0)
-        rows = i * _TILE_N + jax.lax.broadcasted_iota(
-            jnp.int32, (_TILE_N, _TILE_M), 0
-        )
-        cols = j * _TILE_M + jax.lax.broadcasted_iota(
-            jnp.int32, (_TILE_N, _TILE_M), 1
-        )
-        if symmetric:
-            d2 = jnp.where(rows == cols, 0.0, d2)
+        d2, rows, cols = _tile_d2(xt, zt, i, j, symmetric)
 
         leaf_vals = [r[0, 0] for r in param_refs]
-
-        def apply_fn(leaves_, d2_):
-            k_obj = jax.tree_util.tree_unflatten(treedef, leaves_)
-            # unflatten coercion may promote to f64 under x64 configs
-            return k_obj._apply_sqdist(d2_).astype(jnp.float32)
-
-        _, vjp = jax.vjp(apply_fn, leaf_vals, d2)
+        _, vjp = jax.vjp(_apply_sqdist_fn(treedef), leaf_vals, d2)
         leaf_bars, w = vjp(Ct)
         leaf_bars = [lb.astype(jnp.float32) for lb in leaf_bars]
         w = w.astype(jnp.float32)
@@ -242,14 +264,10 @@ def _bwd_pass(symmetric, kernel, x, z, C, transpose_c, want_leaves):
         )
         xbar_ref[:] = xbar_ref[:] + 2.0 * (rs * xt - wz)
         if want_leaves:
-            # Mosaic block shapes must be (8k, 128m): pack the scalar bars
-            # into row 0 of an (8, 128) accumulator tile
-            lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-            sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-            row = jnp.zeros((8, 128), jnp.float32)
-            for li, lb in enumerate(leaf_bars):
-                row = row + jnp.where((lane == li) & (sub == 0), lb, 0.0)
-            leaf_ref[:] = leaf_ref[:] + row
+            lscale = 0.5 if single_sym else 1.0  # C+C^T double-counts leaves
+            leaf_ref[:] = leaf_ref[:] + _pack_scalar_row(
+                [lscale * lb for lb in leaf_bars]
+            )
 
     grid = (np_ // _TILE_N, mp_ // _TILE_M)
     c_spec = (
@@ -259,6 +277,11 @@ def _bwd_pass(symmetric, kernel, x, z, C, transpose_c, want_leaves):
         else pl.BlockSpec((_TILE_N, _TILE_M), lambda i, j: (i, j),
                           memory_space=pltpu.VMEM)
     )
+    extra_in, extra_specs = [], []
+    if single_sym:
+        extra_in = [Cp]
+        extra_specs = [pl.BlockSpec((_TILE_M, _TILE_N), lambda i, j: (j, i),
+                                    memory_space=pltpu.VMEM)]
     xbar, leaf_part = pl.pallas_call(
         body,
         grid=grid,
@@ -273,6 +296,7 @@ def _bwd_pass(symmetric, kernel, x, z, C, transpose_c, want_leaves):
             pl.BlockSpec((_TILE_M, d), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             c_spec,
+            *extra_specs,
         ],
         out_specs=(
             pl.BlockSpec((_TILE_N, d), lambda i, j: (i, 0),
@@ -285,7 +309,7 @@ def _bwd_pass(symmetric, kernel, x, z, C, transpose_c, want_leaves):
             jax.ShapeDtypeStruct((8 * (np_ // _TILE_N), 128), jnp.float32),
         ),
         interpret=_INTERPRET,
-    )(*smem_leaves, xp, zp, Cp)
+    )(*smem_leaves, xp, zp, Cp, *extra_in)
     if not want_leaves:
         return xbar[:n]
     leaf_bars = [leaf_part.sum(0)[li].astype(leaves[li].dtype)
@@ -296,6 +320,13 @@ def _bwd_pass(symmetric, kernel, x, z, C, transpose_c, want_leaves):
 
 def _fused_vjp_bwd(symmetric, res, g):
     kernel, x, z = res
+    if symmetric and x is z:
+        # z IS x (every library call site): one combined sweep yields the
+        # TOTAL input cotangent; attribute it to x and zero to z — the sum
+        # is what reaches the shared tracer
+        xbar, kbar = _bwd_pass(symmetric, kernel, x, z, g, False, True,
+                               single_sym=True)
+        return kbar, xbar, jnp.zeros_like(z)
     xbar, kbar = _bwd_pass(symmetric, kernel, x, z, g, False, True)
     zbar = _bwd_pass(symmetric, kernel, z, x, g, True, False)
     return kbar, xbar, zbar
@@ -380,6 +411,7 @@ def logpdf_contraction(base_kernel, xprime, s2, alpha_g, alpha, gsum, T):
         cols = j * _TILE_M + jax.lax.broadcasted_iota(
             jnp.int32, (_TILE_N, _TILE_M), 1
         )
+        d2, rows, cols = _tile_d2(xt, zt, i, j, True)
         # C tile: ½(α ḡ αᵀ − ḡΣ·Tsym)
         aa = jax.lax.dot_general(
             ag_ref[:], a_ref[:], (((1,), (1,)), ((), ())),
@@ -388,22 +420,8 @@ def logpdf_contraction(base_kernel, xprime, s2, alpha_g, alpha, gsum, T):
         Tsym = jnp.where(rows >= cols, t1_ref[:], t2_ref[:].T)
         Ct = 0.5 * (aa - gsum_ref[0, 0] * Tsym)
 
-        gmm = jax.lax.dot_general(
-            xt, zt, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=HI,
-        )
-        nx = jnp.sum(xt * xt, axis=1, keepdims=True)
-        nz = jnp.sum(zt * zt, axis=1, keepdims=True).T
-        d2 = jnp.maximum(nx + nz - 2.0 * gmm, 0.0)
-        d2 = jnp.where(rows == cols, 0.0, d2)
-
         leaf_vals = [r[0, 0] for r in param_refs]
-
-        def apply_fn(leaves_, d2_):
-            k_obj = jax.tree_util.tree_unflatten(treedef, leaves_)
-            return k_obj._apply_sqdist(d2_).astype(jnp.float32)
-
-        Kb, vjp = jax.vjp(apply_fn, leaf_vals, d2)
+        Kb, vjp = jax.vjp(_apply_sqdist_fn(treedef), leaf_vals, d2)
         s2v = s2_ref[0, 0]
         leaf_bars, w = vjp(Ct * s2v)
         w = jnp.where(rows == cols, 0.0, w.astype(jnp.float32))
@@ -417,13 +435,9 @@ def logpdf_contraction(base_kernel, xprime, s2, alpha_g, alpha, gsum, T):
         # total x̄' = 2 × row part (C symmetric)
         xbar_ref[:] = xbar_ref[:] + 4.0 * (rs * xt - wz)
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-        row = jnp.where((lane == n_leaves) & (sub == 0), s2bar_part, 0.0)
-        for li, lb in enumerate(leaf_bars):
-            row = row + jnp.where((lane == li) & (sub == 0),
-                                  lb.astype(jnp.float32), 0.0)
-        leaf_ref[:] = leaf_ref[:] + row
+        leaf_ref[:] = leaf_ref[:] + _pack_scalar_row(
+            [lb.astype(jnp.float32) for lb in leaf_bars] + [s2bar_part]
+        )
 
     nb = np_ // _TILE_N
     grid = (nb, nb)

@@ -182,10 +182,14 @@ def main():
     # device execution (the preemptible-pod / tunneled-chip mode). The gap
     # vs the one-program rate is the per-segment host round-trip cost —
     # reported so the 3 NUTS numbers in this artifact explain each other.
+    seg_cache = {}  # reuse compiled segment programs across timed calls
+                    # (same retrace artifact as the fused path otherwise)
+
     def run_nuts_seg():
         return run_mcmc(logjoint, init, jax.random.PRNGKey(1),
                         num_chains=n_chains, num_samples=n_draws,
-                        num_warmup=n_warm, max_depth=8, segment_size=16)
+                        num_warmup=n_warm, max_depth=8, segment_size=16,
+                        program_cache=seg_cache)
 
     res_s = run_nuts_seg()
     jax.block_until_ready(res_s.positions)

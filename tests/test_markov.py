@@ -170,3 +170,26 @@ def test_markov_logpdf_matrix_y(data, rng, parallel):
     assert got.shape == (3,)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-8, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_markov_posterior_cov_scales_past_training_size(key):
+    # regression (r4 review): cov between M query points must be O(M^2),
+    # never O((N+M)^2) over the merged timeline — at N=20k training points
+    # the old full-table path would allocate a 3.2 GB pairwise matrix
+    import numpy as np
+
+    n, m = 20_000, 12
+    k1, k2 = jax.random.split(key)
+    x = jnp.sort(jax.random.uniform(k1, (n,)) * 100.0)[:, None]
+    y = jnp.sin(x[:, 0]) + 0.1 * jax.random.normal(k2, (n,))
+    f = agp.GP(agp.with_lengthscale(agp.Matern32Kernel(), 2.0))
+    post = agp.markov_posterior(f(x, 0.01), y)
+    z = jnp.linspace(0.0, 100.0, m)[:, None]
+    mu, C = post.mean_and_cov(z)
+    assert C.shape == (m, m)
+    assert bool(jnp.isfinite(C).all())
+    # diagonal must match the O(N) marginal path
+    _, v = post.mean_and_var(z)
+    np.testing.assert_allclose(np.asarray(jnp.diagonal(C)), np.asarray(v),
+                               rtol=1e-6, atol=1e-9)

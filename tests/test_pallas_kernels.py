@@ -452,3 +452,34 @@ def test_fused_gram_bwd_kernel_all_cotangents(rng, sym):
             err = np.abs(np.asarray(a) - np.asarray(b)).max()
             scale = np.abs(np.asarray(b)).max() + 1e-6
             assert err < 2e-4 * scale + 1e-5, (type(k).__name__, sym, err)
+
+
+def test_chol_solve_wide_matches_xla(rng):
+    # single-trtri K^-1 B path: value + adjoints vs the XLA composition
+    A = _spd(rng, 96)
+    L = jax.lax.linalg.cholesky(A)
+    B = jnp.asarray(rng.normal(size=(96, 40)), dtype=jnp.float32)
+    X = pallas_chol.chol_solve_wide(L, B)
+    X_ref = jax.lax.linalg.triangular_solve(
+        L, jax.lax.linalg.triangular_solve(L, B, left_side=True, lower=True),
+        left_side=True, lower=True, transpose_a=True)
+    np.testing.assert_allclose(np.asarray(X), np.asarray(X_ref),
+                               atol=5e-4, rtol=5e-4)
+    w = jnp.asarray(rng.normal(size=(96, 40)), dtype=jnp.float32)
+
+    def loss_wide(L_, B_):
+        return jnp.vdot(pallas_chol.chol_solve_wide(L_, B_), w)
+
+    def loss_ref(L_, B_):
+        z = jax.lax.linalg.triangular_solve(L_, B_, left_side=True,
+                                            lower=True)
+        return jnp.vdot(jax.lax.linalg.triangular_solve(
+            L_, z, left_side=True, lower=True, transpose_a=True), w)
+
+    gW = jax.grad(loss_wide, argnums=(0, 1))(L, B)
+    gR = jax.grad(loss_ref, argnums=(0, 1))(L, B)
+    np.testing.assert_allclose(np.asarray(jnp.tril(gW[0])),
+                               np.asarray(jnp.tril(gR[0])),
+                               atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(gW[1]), np.asarray(gR[1]),
+                               atol=1e-3, rtol=5e-3)
