@@ -269,6 +269,20 @@ def run_mcmc(
     else:
         # segmented path: bounded device executions (see docstring)
         cache = program_cache if program_cache is not None else {}
+        # cached programs close over logdensity and every config knob; a
+        # cache shared across DIFFERENT configs would silently sample the
+        # first call's model — fingerprint the config and refuse reuse
+        fingerprint = (
+            id(logdensity), algorithm, num_warmup, max_depth,
+            num_integration_steps, float(initial_step_size),
+            float(target_accept), thin, mesh, mesh_axis, n_chains, dim,
+        )
+        if cache.setdefault("_config", fingerprint) != fingerprint:
+            raise ValueError(
+                "program_cache was built by a run_mcmc call with a "
+                "different configuration (logdensity/warmup/depth/... "
+                "differ); pass a fresh dict per configuration"
+            )
 
         def _cached(key_, build):
             if key_ not in cache:

@@ -546,6 +546,8 @@ def _posterior_joint(fx, y, x_test, parallel: bool = False):
     mean_s = ms @ H + prior_mean_s
 
     sel = jnp.argsort(order)[n_train:]   # merged positions, USER order
+    if sel.shape[0] == 0:  # empty query set: (0,) mean, (0, 0) covariance
+        return mean_s[sel], jnp.zeros((0, 0), mean_s.dtype)
     ord_q = jnp.argsort(sel)             # queries sorted by timeline position
     qpos = sel[ord_q]
     n_all = t_s.shape[0]

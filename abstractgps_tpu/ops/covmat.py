@@ -130,11 +130,9 @@ def chol_solve(L: jax.Array, B: jax.Array) -> jax.Array:
     """
     from . import pallas_chol
 
-    b_vec = B.ndim == 1
-    Bm = B[:, None] if b_vec else B
-    if pallas_chol.should_use_wide_solve(L, Bm):
-        X = pallas_chol.chol_solve_wide(L, Bm)
-        return X[:, 0] if b_vec else X
+    # (a 1-D B can never satisfy the wide-RHS gate, so no reshaping here)
+    if B.ndim == 2 and pallas_chol.should_use_wide_solve(L, B):
+        return pallas_chol.chol_solve_wide(L, B)
     return solve_upper(L, solve_lower(L, B))
 
 

@@ -405,12 +405,6 @@ def logpdf_contraction(base_kernel, xprime, s2, alpha_g, alpha, gsum, T):
         xt = x_ref[:]   # (TN, D) rows
         zt = z_ref[:]   # (TN, D) cols (same array, j-indexed)
         HI = jax.lax.Precision.HIGHEST
-        rows = i * _TILE_N + jax.lax.broadcasted_iota(
-            jnp.int32, (_TILE_N, _TILE_M), 0
-        )
-        cols = j * _TILE_M + jax.lax.broadcasted_iota(
-            jnp.int32, (_TILE_N, _TILE_M), 1
-        )
         d2, rows, cols = _tile_d2(xt, zt, i, j, True)
         # C tile: ½(α ḡ αᵀ − ḡΣ·Tsym)
         aa = jax.lax.dot_general(

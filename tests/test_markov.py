@@ -193,3 +193,15 @@ def test_markov_posterior_cov_scales_past_training_size(key):
     _, v = post.mean_and_var(z)
     np.testing.assert_allclose(np.asarray(jnp.diagonal(C)), np.asarray(v),
                                rtol=1e-6, atol=1e-9)
+
+
+def test_markov_posterior_empty_query(key):
+    # regression: M=0 query sets must return (0,)/(0,0), not crash the
+    # segment-product scan
+    k1, k2 = jax.random.split(key)
+    x = jnp.sort(jax.random.uniform(k1, (12,)) * 3.0)[:, None]
+    y = jax.random.normal(k2, (12,))
+    post = agp.markov_posterior(
+        agp.GP(agp.Matern32Kernel())(x, 0.1), y)
+    mu, C = post.mean_and_cov(jnp.zeros((0, 1)))
+    assert mu.shape == (0,) and C.shape == (0, 0)

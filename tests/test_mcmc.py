@@ -122,3 +122,26 @@ def test_segmented_run_bit_identical(key):
                                   np.asarray(b.logdens))
     np.testing.assert_array_equal(np.asarray(a.step_size),
                                   np.asarray(b.step_size))
+
+
+def test_program_cache_rejects_config_mismatch(key):
+    from abstractgps_tpu.inference.mcmc import init_chain_positions, run_mcmc
+
+    def ld_a(q):
+        return -0.5 * jnp.sum(q * q)
+
+    def ld_b(q):
+        return -0.5 * jnp.sum((q - 1.0) ** 2)
+
+    init = init_chain_positions(key, jnp.zeros((2,)), num_chains=2)
+    cache = {}
+    run_mcmc(ld_a, init, key, num_chains=2, num_samples=4, num_warmup=4,
+             segment_size=2, program_cache=cache)
+    # same config + same logdensity reuses fine
+    run_mcmc(ld_a, init, key, num_chains=2, num_samples=4, num_warmup=4,
+             segment_size=2, program_cache=cache)
+    # a different model with the same shapes must be refused, not
+    # silently sampled from the cached (wrong) programs
+    with pytest.raises(ValueError, match="different configuration"):
+        run_mcmc(ld_b, init, key, num_chains=2, num_samples=4,
+                 num_warmup=4, segment_size=2, program_cache=cache)
