@@ -336,7 +336,7 @@ def cg_logpdf(fx, y, key=None, *, num_probes: int = 32,
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["prior", "x", "noise_diag", "alpha"],
+    data_fields=["prior", "x", "noise_diag", "alpha", "Lk"],
     meta_fields=["max_iters", "tol", "panel", "max_dense_n", "precond_rank"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -353,6 +353,7 @@ class CGPosteriorGP(AbstractGP):
     x: jax.Array
     noise_diag: jax.Array
     alpha: jax.Array
+    Lk: jax.Array | None = None  # cached rank-k pivchol preconditioner
     max_iters: int = 256
     tol: float | None = None
     panel: int = 1024
@@ -362,8 +363,10 @@ class CGPosteriorGP(AbstractGP):
     def _solve(self, B: jax.Array) -> jax.Array:
         mv = make_gram_matvec(self.prior.kernel, self.x, self.noise_diag,
                               panel=self.panel, max_dense_n=self.max_dense_n)
+        # reuse the pivoted-Cholesky factor CGInference.posterior built —
+        # rebuilding it is a sequential O(n·k²) pass per predictive call
         psolve, _ = _make_precond(self.prior.kernel, self.x, self.noise_diag,
-                                  self.precond_rank)
+                                  self.precond_rank, Lk=self.Lk)
         X, _ = mbcg(mv, B, max_iters=self.max_iters, tol=self.tol,
                     precond=psolve)
         return X
@@ -433,11 +436,16 @@ class CGInference:
         delta = y - fx.f.mean(fx.x)
         mv = make_gram_matvec(kernel, fx.x, nd,
                               panel=self.panel, max_dense_n=self.max_dense_n)
-        psolve, _ = _make_precond(kernel, fx.x, nd, self.precond_rank)
+        Lk = None
+        if self.precond_rank > 0:
+            from ..ops.pivchol import pivoted_cholesky
+
+            Lk = pivoted_cholesky(kernel, fx.x, self.precond_rank)
+        psolve, _ = _make_precond(kernel, fx.x, nd, self.precond_rank, Lk=Lk)
         X, _ = mbcg(mv, delta[:, None],
                     max_iters=self.max_iters, tol=self.tol, precond=psolve)
         return CGPosteriorGP(
-            prior=fx.f, x=fx.x, noise_diag=nd, alpha=X[:, 0],
+            prior=fx.f, x=fx.x, noise_diag=nd, alpha=X[:, 0], Lk=Lk,
             max_iters=self.max_iters, tol=self.tol, panel=self.panel,
             max_dense_n=self.max_dense_n, precond_rank=self.precond_rank,
         )

@@ -32,15 +32,16 @@ __all__ = ["OnlineGP", "online_init", "online_extend", "online_mean_and_var"]
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["L", "alpha", "delta", "x", "count"],
-    meta_fields=["prior"],
+    data_fields=["prior", "L", "alpha", "delta", "x", "count"],
+    meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
 class OnlineGP:
     """Fixed-capacity exact posterior cache (padded analogue of
     PosteriorGP's ``(α, C, x, δ)``)."""
 
-    prior: AbstractGP
+    prior: AbstractGP  # data field: hyperparameters stay traced, so a
+                       # tuned prior does NOT retrace the streaming program
     L: jax.Array       # (cap, cap) lower chol; identity beyond count
     alpha: jax.Array   # (cap,) zero beyond count
     delta: jax.Array   # (cap,) zero beyond count
@@ -101,6 +102,12 @@ def online_extend(state: OnlineGP, x_new: jax.Array, y_new: jax.Array,
     x = jax.lax.dynamic_update_slice(state.x, x_new.astype(state.x.dtype),
                                      (state.count, zero))
     count = state.count + b
+
+    # capacity overflow poisons the cache with NaN instead of silently
+    # clamping the write (which would overwrite valid factor rows and
+    # return finite-but-wrong predictions) — the library's NaN-propagation
+    # failure contract (SURVEY §5): every downstream mean/var goes NaN
+    L = jnp.where(count > cap, jnp.asarray(jnp.nan, dtype), 1.0) * L
 
     # refresh α against the extended factor; padded δ rows are zero so the
     # padded α rows come out exactly zero

@@ -55,6 +55,7 @@ from ..kernels.stationary import (
     RationalQuadraticKernel,
     SqExponentialKernel,
 )
+from ..ops import covmat
 from ..ops.distance import as_inputs
 from ..ops.precision import precise
 from .exact_posterior import PosteriorGP
@@ -266,7 +267,11 @@ class _ConcatFeatures:
     def num_features(self) -> int:
         return sum(b.num_features for b in self.blocks)
 
+    @precise
     def __call__(self, x) -> jax.Array:
+        # @precise for the same reason as FourierFeatures.__call__: the
+        # feature map escapes into user closures after the constructor's
+        # precision context has exited, and transform chains may GEMM
         x = as_inputs(x)
         for t in self.transforms:
             x = t(x)
@@ -347,8 +352,8 @@ def pathwise_sample(
         eps = jnp.sqrt(cache.noise.diag())[:, None] * z_eps
 
     resid = delta[:, None] - phi(x_train) @ w - eps      # (N, s)
-    z = jax.scipy.linalg.solve_triangular(L, resid, lower=True)
-    v = jax.scipy.linalg.solve_triangular(L.T, z, lower=False)  # (N, s)
+    # covmat.chol_solve: wide RHS routes to the single-trtri TPU path
+    v = covmat.chol_solve(L, resid)                      # (N, s)
 
     @precise
     def g(xs):

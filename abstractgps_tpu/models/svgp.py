@@ -58,7 +58,6 @@ __all__ = [
     "fit_svgp_natgrad",
 ]
 
-_LOG_2PI = math.log(2.0 * math.pi)
 DEFAULT_INDUCING_JITTER = 1e-6
 
 
@@ -266,6 +265,14 @@ class SVGPPosterior(AbstractGP):
         _, v = self.svgp.predict(x)
         return v
 
+    def mean_and_var(self, x):
+        # one predict call = one chol(Kzz) + one cross-gram solve (the
+        # AbstractGP default would pay both twice)
+        return self.svgp.predict(x)
+
+    def mean_and_cov(self, x):
+        return self.svgp.predict(x, full_cov=True)
+
 
 def svgp_posterior(svgp: SVGP) -> SVGPPosterior:
     return SVGPPosterior(svgp)
@@ -428,10 +435,11 @@ def fit_svgp_natgrad(
     n = x.shape[0]
     opt = optax.adam(hyper_lr)
     jitter0, z0 = svgp.jitter, svgp.z
+    noise_vec = (jnp.asarray(noise).ndim == 1) if noise is not None else False
 
-    def hyper_loss(sv, xb, yb):
+    def hyper_loss(sv, xb, yb, nb):
         if log_lik is None:
-            return -svgp_elbo(sv, xb, yb, noise, n_total=n)
+            return -svgp_elbo(sv, xb, yb, nb, n_total=n)
         return -svgp_elbo_quadrature(
             sv, xb, yb, log_lik, n_total=n, num_points=num_points
         )
@@ -440,11 +448,13 @@ def fit_svgp_natgrad(
         sv, opt_state = carry
         idx = jax.random.randint(k, (batch_size,), 0, n)
         xb, yb = x[idx], y[idx]
+        # per-point (heteroscedastic) noise must be sliced WITH the batch
+        nb = jnp.asarray(noise)[idx] if noise_vec else noise
         sv = natgrad_step(
-            sv, xb, yb, noise,
+            sv, xb, yb, nb,
             lr=natgrad_lr, n_total=n, log_lik=log_lik, num_points=num_points,
         )
-        l, g = jax.value_and_grad(hyper_loss)(sv, xb, yb)
+        l, g = jax.value_and_grad(hyper_loss)(sv, xb, yb, nb)
         updates, opt_state = opt.update(g, opt_state)
         new = optax.apply_updates(sv, updates)
         new = dataclasses.replace(
@@ -512,9 +522,11 @@ def fit_svgp(
     opt = optax.adam(learning_rate)
     jitter0, z0 = svgp.jitter, svgp.z
 
-    def loss(sv, xb, yb):
+    noise_vec = (jnp.asarray(noise).ndim == 1) if noise is not None else False
+
+    def loss(sv, xb, yb, nb):
         if log_lik is None:
-            return -svgp_elbo(sv, xb, yb, noise, n_total=n)
+            return -svgp_elbo(sv, xb, yb, nb, n_total=n)
         return -svgp_elbo_quadrature(
             sv, xb, yb, log_lik, n_total=n, num_points=num_points
         )
@@ -522,7 +534,9 @@ def fit_svgp(
     def step(carry, k):
         sv, opt_state = carry
         idx = jax.random.randint(k, (batch_size,), 0, n)
-        l, g = jax.value_and_grad(loss)(sv, x[idx], y[idx])
+        # per-point (heteroscedastic) noise must be sliced WITH the batch
+        nb = jnp.asarray(noise)[idx] if noise_vec else noise
+        l, g = jax.value_and_grad(loss)(sv, x[idx], y[idx], nb)
         updates, opt_state = opt.update(g, opt_state)
         new = optax.apply_updates(sv, updates)
         # jitter is a stabiliser, never a trainable; z/hyper only if requested

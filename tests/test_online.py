@@ -67,3 +67,45 @@ def test_online_compiles_once_under_scan(key):
     # intermediate predictions must be finite and variances shrink over time
     assert np.isfinite(np.asarray(ms)).all()
     assert float(vs[0].mean()) >= float(vs[-1].mean()) - 1e-9
+
+
+def test_online_extend_past_capacity_poisons(key):
+    # overflow must NOT silently clamp-overwrite valid rows: the cache
+    # NaN-poisons so downstream predictions are visibly invalid
+    k1, k2 = jax.random.split(key)
+    x = jax.random.uniform(k1, (12, 1))
+    y = jnp.sin(x[:, 0])
+    f = agp.GP(agp.Matern32Kernel())
+    st = online_init(f, capacity=8, input_dim=1, dtype=jnp.float64)
+    st = online_extend(st, x[:8], y[:8], 0.1)
+    m0, _ = online_mean_and_var(st, x[:2])
+    assert bool(jnp.isfinite(m0).all())
+    st = online_extend(st, x[8:], y[8:], 0.1)  # 12 > capacity 8
+    m1, v1 = online_mean_and_var(st, x[:2])
+    assert bool(jnp.isnan(m1).all()), m1
+
+
+def test_online_prior_is_traced_not_static(key):
+    # prior hyperparameters are pytree DATA: two different variances reuse
+    # one compiled program (meta/static registration would retrace, and a
+    # jax.Array in a static field is unhashable)
+    import numpy as np
+
+    k1, k2 = jax.random.split(key)
+    x = jax.random.uniform(k1, (6, 1))
+    y = jnp.sin(x[:, 0])
+
+    traces = []
+
+    @jax.jit
+    def step(st):
+        traces.append(1)
+        return online_extend(st, x, y, 0.1)
+
+    for s2 in (1.0, 2.5):
+        f = agp.GP(jnp.float64(s2) * agp.Matern32Kernel())
+        st = online_init(f, capacity=8, input_dim=1, dtype=jnp.float64)
+        st2 = step(st)
+        m, _ = online_mean_and_var(st2, x[:2])
+        assert bool(jnp.isfinite(m).all())
+    assert len(traces) == 1, "prior hyperparameters retraced the program"

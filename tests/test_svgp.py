@@ -23,6 +23,7 @@ from abstractgps_tpu.models.svgp import (
     svgp_init,
     svgp_posterior,
     fit_svgp,
+    fit_svgp_natgrad,
 )
 
 
@@ -250,3 +251,21 @@ def test_fit_svgp_natgrad_jits_and_improves(setup):
     assert trace.shape == (40,)
     # variational params actually moved
     assert float(jnp.max(jnp.abs(fitted.m))) > 1e-3
+
+
+def test_fit_svgp_heteroscedastic_noise(key):
+    # regression (r4 review): per-point noise vectors must be sliced with
+    # the minibatch — previously fit_svgp passed the full-length vector
+    # into a size-B batch and raised at the first step
+    k1, k2, k3 = jax.random.split(key, 3)
+    n = 32
+    x = jax.random.uniform(k1, (n, 1)) * 3.0
+    y = jnp.sin(x[:, 0]) + 0.05 * jax.random.normal(k2, (n,))
+    noise = jnp.full((n,), 0.1)
+    sv = agp.svgp_init(agp.Matern32Kernel(), x[::4], jitter=1e-6)
+    fitted, trace = fit_svgp(k3, sv, x, y, noise=noise, batch_size=8,
+                             steps=5, learning_rate=1e-2)
+    assert bool(jnp.isfinite(jnp.asarray(trace)).all())
+    fitted2, trace2 = fit_svgp_natgrad(k3, sv, x, y, noise=noise,
+                                       batch_size=8, steps=3)
+    assert bool(jnp.isfinite(jnp.asarray(trace2)).all())
