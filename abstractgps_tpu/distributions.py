@@ -133,7 +133,12 @@ class Gamma:
         return a * jnp.log(b) + (a - 1.0) * jnp.log(y) - b * y - jax.lax.lgamma(a)
 
     def sample(self, key):
-        return jax.random.gamma(key, self.concentration) / self.rate
+        # draw at the BROADCAST shape of (concentration, rate): a scalar
+        # concentration with a vector rate must give independent draws,
+        # not one gamma variate rescaled per component
+        shape = jnp.broadcast_shapes(jnp.shape(self.concentration),
+                                     jnp.shape(self.rate))
+        return jax.random.gamma(key, self.concentration, shape) / self.rate
 
 
 @_pytree

@@ -95,7 +95,7 @@ def welford_update(state: WelfordState, x: jax.Array) -> WelfordState:
 
 def welford_variance(state: WelfordState, regularize: bool = True) -> jax.Array:
     """Sample variance with Stan's shrinkage toward unity
-    (var ← n/(n+5)·var + 3e-3·5/(n+5))."""
+    (var ← n/(n+5)·var + 1e-3·5/(n+5))."""
     var = state.m2 / jnp.maximum(state.count - 1.0, 1.0)
     if regularize:
         n = state.count

@@ -10,7 +10,7 @@ Algorithm (Del Moral, Doucet & Jasra 2006; pymc-style adaptive tempering):
 tempered targets ``π_β ∝ prior · lik^β``; β advances adaptively so the
 incremental-weight effective sample size stays at ``ess_target·N``
 (bisection inside the jitted loop); systematic resampling; rejuvenation by
-``num_moves`` covariance-preconditioned random-walk Metropolis steps at
+``num_moves`` per-dimension-std-preconditioned random-walk Metropolis steps at
 the current temperature. Particles are a leading axis: vmapped on one
 chip, shardable over the mesh ``"dp"`` axis (resampling is a gather —
 under pjit it lowers to XLA collectives; SURVEY §5).
@@ -40,7 +40,9 @@ def systematic_resample(key, log_weights: jax.Array) -> jax.Array:
     cum = jnp.cumsum(w)
     u0 = jax.random.uniform(key, (), w.dtype)
     pts = (u0 + jnp.arange(n, dtype=w.dtype)) / n
-    return jnp.searchsorted(cum, pts).astype(jnp.int32)
+    # f32 rounding can leave cum[-1] slightly below pts[-1]; clip so the
+    # ancestor index is well-defined rather than relying on gather-clamp
+    return jnp.clip(jnp.searchsorted(cum, pts), 0, n - 1).astype(jnp.int32)
 
 
 def _ess_fraction(log_w: jax.Array) -> jax.Array:
@@ -115,7 +117,7 @@ def run_smc(
                          bisect(None))
 
     def rejuvenate(key, particles, ll, lp, beta):
-        """num_moves covariance-preconditioned RWM steps at temperature β."""
+        """num_moves per-dimension-std-preconditioned RWM steps at temperature β."""
         std = jnp.std(particles, axis=0) + 1e-8
 
         def move(carry, key):

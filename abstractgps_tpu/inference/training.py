@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Callable, NamedTuple
 
 import jax
+from jax.flatten_util import ravel_pytree
 import jax.numpy as jnp
 import optax
 
@@ -94,8 +95,10 @@ def fit(
         theta = optax.apply_updates(theta, updates)
         return (theta, opt_state), val
 
+    # NOTE: no inner jit — lax.scan traces its body exactly once; wrapping
+    # it in jax.jit only adds a closed-call trace layer
     (theta, _), history = jax.lax.scan(
-        jax.jit(step), (theta0, opt_state), None, length=num_steps, unroll=unroll
+        step, (theta0, opt_state), None, length=num_steps, unroll=unroll
     )
     return FitResult(theta, history)
 
@@ -123,18 +126,25 @@ def fit_lbfgs(
         return jnp.logical_and(it < num_steps, gnorm > tol)
 
     def body(carry):
-        theta, opt_state, it, _ = carry
+        theta, opt_state, it, _, trace = carry
         val, grad = value_and_grad(theta, state=opt_state)
         updates, opt_state = optimizer.update(
             grad, opt_state, theta, value=val, grad=grad, value_fn=loss
         )
         theta = optax.apply_updates(theta, updates)
-        gflat, _ = jax.flatten_util.ravel_pytree(grad)
-        return theta, opt_state, it + 1, jnp.linalg.norm(gflat)
+        gflat, _ = ravel_pytree(grad)
+        trace = trace.at[it].set(val)
+        return theta, opt_state, it + 1, jnp.linalg.norm(gflat), trace
 
     opt_state = optimizer.init(theta0)
-    theta, opt_state, n_iter, gnorm = jax.lax.while_loop(
-        cond, body, (theta0, opt_state, jnp.asarray(0), jnp.asarray(jnp.inf))
+    f0 = loss(theta0)
+    # honest per-iteration loss history (the FitResult contract shared with
+    # ``fit``): unvisited tail entries stay at the final achieved loss
+    trace0 = jnp.full((num_steps,), jnp.nan, dtype=f0.dtype)
+    theta, opt_state, n_iter, gnorm, trace = jax.lax.while_loop(
+        lambda c: cond(c[:4]), body,
+        (theta0, opt_state, jnp.asarray(0), jnp.asarray(jnp.inf), trace0),
     )
     final = loss(theta)
-    return FitResult(theta, jnp.stack([final, n_iter.astype(final.dtype), gnorm]))
+    trace = jnp.where(jnp.isnan(trace), final, trace)
+    return FitResult(theta, trace)

@@ -180,9 +180,11 @@ class WhiteKernel(Kernel):
         return eq.astype(jnp.result_type(x.dtype, float))
 
     def gram(self, x):
-        # exact identity on distinct inputs; avoids the distance round-trip
-        n = as_inputs(x).shape[0]
-        return jnp.eye(n, dtype=jnp.result_type(as_inputs(x).dtype, float))
+        # elementwise-equality semantics, consistent with cross(x, x):
+        # duplicate rows in x produce 1 at coincident PAIRS, matching the
+        # documented δ(x, z) definition (a hard identity here would make
+        # gram(x) != cross(x, x) whenever x carries duplicates)
+        return self.cross(x, x)
 
     def diag(self, x):
         x = as_inputs(x)

@@ -194,3 +194,22 @@ def test_invalid_string_param_raises_at_construction():
         agp.RationalQuadraticKernel(alpha="not-a-number")
     with pytest.raises(TypeError, match="numeric"):
         ConstMean("oops")
+
+
+def test_white_kernel_gram_cross_consistent_with_duplicates():
+    # gram(x) must equal cross(x, x) even when x contains duplicate rows
+    x = jnp.asarray([[0.0], [1.0], [1.0], [2.0]])
+    k = WhiteKernel()
+    np.testing.assert_array_equal(
+        np.asarray(kernelmatrix(k, x)), np.asarray(kernelmatrix(k, x, x))
+    )
+    assert float(kernelmatrix(k, x)[1, 2]) == 1.0  # coincident pair
+
+
+def test_gamma_sample_independent_components(key):
+    from abstractgps_tpu.distributions import Gamma
+
+    d = Gamma(concentration=2.0, rate=jnp.ones(5))
+    s = d.sample(key)
+    assert s.shape == (5,)
+    assert len(np.unique(np.asarray(s))) == 5, s  # not rank-1 correlated
