@@ -271,12 +271,18 @@ def run_mcmc(
         cache = program_cache if program_cache is not None else {}
         # cached programs close over logdensity and every config knob; a
         # cache shared across DIFFERENT configs would silently sample the
-        # first call's model — fingerprint the config and refuse reuse
+        # first call's model — fingerprint the config and refuse reuse.
+        # The cache holds a STRONG reference to logdensity ("_logdensity")
+        # so its id() can never be recycled by a later closure while the
+        # cache lives: without it, a user who rebuilds the closure per call
+        # could draw a GC'd-and-reused id that matches the stale
+        # fingerprint and silently sample the first call's model.
         fingerprint = (
             id(logdensity), algorithm, num_warmup, max_depth,
             num_integration_steps, float(initial_step_size),
             float(target_accept), thin, mesh, mesh_axis, n_chains, dim,
         )
+        cache.setdefault("_logdensity", logdensity)
         if cache.setdefault("_config", fingerprint) != fingerprint:
             raise ValueError(
                 "program_cache was built by a run_mcmc call with a "

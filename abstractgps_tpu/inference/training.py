@@ -117,6 +117,12 @@ def fit_lbfgs(
     (examples/0-intro-1d/script.jl:421-426,
     examples/1-mauna-loa/script.jl:227-230). Runs as a bounded
     ``while_loop`` with a gradient-norm stopping rule, fully on device.
+
+    ``FitResult.history`` is the per-iteration loss trace of length
+    ``num_steps`` (since round 4; earlier versions packed
+    ``[final_loss, n_iter, gnorm]`` — a breaking shape change). Entries at
+    indices >= the converged iteration count are backfilled with the final
+    loss; a genuine mid-run NaN loss stays visible as NaN in the trace.
     """
     optimizer = optax.lbfgs(memory_size=memory_size)
     value_and_grad = optax.value_and_grad_from_state(loss)
@@ -146,5 +152,7 @@ def fit_lbfgs(
         (theta0, opt_state, jnp.asarray(0), jnp.asarray(jnp.inf), trace0),
     )
     final = loss(theta)
-    trace = jnp.where(jnp.isnan(trace), final, trace)
+    # backfill ONLY the unvisited tail (indices >= n_iter): a genuine NaN
+    # loss hit during the run must stay visible, not be painted over
+    trace = jnp.where(jnp.arange(num_steps) >= n_iter, final, trace)
     return FitResult(theta, trace)

@@ -183,7 +183,13 @@ class WhiteKernel(Kernel):
         # elementwise-equality semantics, consistent with cross(x, x):
         # duplicate rows in x produce 1 at coincident PAIRS, matching the
         # documented δ(x, z) definition (a hard identity here would make
-        # gram(x) != cross(x, x) whenever x carries duplicates)
+        # gram(x) != cross(x, x) whenever x carries duplicates).
+        # Cost note: this is an O(n²·d) broadcast-compare-reduce (one XLA
+        # fusion, no O(n²·d) HBM intermediate, but d× the arithmetic of an
+        # identity). Callers that can GUARANTEE distinct rows and need the
+        # cheaper form can use ``jnp.eye(n)`` directly — the library keeps
+        # the equality semantics because silently returning I on duplicated
+        # inputs is the worse failure mode.
         return self.cross(x, x)
 
     def diag(self, x):

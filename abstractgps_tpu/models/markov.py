@@ -607,6 +607,12 @@ class MarkovPosteriorGP(AbstractGP):
     def cov(self, xs, zs=None):
         if zs is None:
             return _posterior_joint(self.fx, self.y, xs, self.parallel)[1]
+        # cross-cov via the joint (nx+nz)² query table, slicing the cross
+        # block: ~4× the pairwise-table work of a dedicated cross-only
+        # sweep and the nx² / nz² quadrants are discarded. Fine for the
+        # small-M query sets this serves (the training-set scan — the O(N)
+        # part — is shared either way); a cross-only product sweep is the
+        # upgrade if large cross-covariance tables become a real workload.
         xq, zq = as_inputs(xs), as_inputs(zs)
         nx = xq.shape[0]
         tq = jnp.concatenate([xq, zq], axis=0)

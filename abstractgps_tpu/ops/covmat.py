@@ -19,6 +19,8 @@ XLA's built-in Cholesky/triangular-solve JVP rules.
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -27,6 +29,7 @@ __all__ = [
     "symmetrize",
     "add_jitter",
     "cholesky_lower",
+    "substitution_solves",
     "solve_lower",
     "solve_upper",
     "chol_solve",
@@ -85,6 +88,30 @@ def cholesky_lower(A: jax.Array) -> jax.Array:
     return lax.linalg.cholesky(symmetrize(A))
 
 
+_WIDE_SOLVES = True  # scoped by substitution_solves(); not thread-local
+
+
+@contextlib.contextmanager
+def substitution_solves():
+    """Scoped opt-out of the explicit-inverse (trtri+TRMM) wide solves.
+
+    Inside this context, ``solve_lower``/``solve_upper``/``chol_solve``
+    always use XLA's backward-stable triangular substitution, even on the
+    TPU fat-RHS path. Use it when the factorised matrix is ill-conditioned
+    (tiny noise/jitter; see the accuracy contract in ``solve_lower``) and
+    the extra accuracy of substitution is worth the ~4× throughput loss.
+    Unlike ``pallas_chol.set_enabled`` this is scoped (restored on exit)
+    and only affects the solve routing, not the Cholesky/gram kernels.
+    """
+    global _WIDE_SOLVES
+    prev = _WIDE_SOLVES
+    _WIDE_SOLVES = False
+    try:
+        yield
+    finally:
+        _WIDE_SOLVES = prev
+
+
 def solve_lower(L: jax.Array, B: jax.Array) -> jax.Array:
     """Solve ``L X = B`` for lower-triangular L (reference ``U' \\ B``).
 
@@ -92,12 +119,22 @@ def solve_lower(L: jax.Array, B: jax.Array) -> jax.Array:
     (``pallas_chol.solve_lower_wide`` — the posterior-prediction whitening
     solve, 4× the XLA substitution's throughput); everything else uses
     XLA's triangular solve.
+
+    Accuracy contract for the wide path: explicit-inverse-then-multiply is
+    not backward-stable — its forward error grows ~linearly with κ(L)
+    instead of substitution's κ(L)·(unit roundoff of the residual). For
+    Cholesky factors of noisy grams this is benign: κ(L) = √κ(K) ≤
+    √(σ²_max(K)/noise), so even noise = 1e-6 against unit signal keeps
+    κ(L) ≲ 1e3 and the extra f32 error ≲ 1e-4 relative (validated at
+    κ(K) ≈ 1e8 in tests/test_covmat_ops.py::test_wide_solve_ill_conditioned).
+    For factors of *jitter-only* grams (κ(K) ≫ 1e8 in f32) wrap the call in
+    ``covmat.substitution_solves()`` to force substitution.
     """
     from . import pallas_chol
 
     b_vec = B.ndim == 1
     Bm = B[:, None] if b_vec else B
-    if pallas_chol.should_use_wide_solve(L, Bm):
+    if _WIDE_SOLVES and pallas_chol.should_use_wide_solve(L, Bm):
         X = pallas_chol.solve_lower_wide(L, Bm)
     else:
         X = lax.linalg.triangular_solve(
@@ -107,12 +144,16 @@ def solve_lower(L: jax.Array, B: jax.Array) -> jax.Array:
 
 
 def solve_upper(L: jax.Array, B: jax.Array) -> jax.Array:
-    """Solve ``L' X = B`` (upper-triangular solve; reference ``U \\ B``)."""
+    """Solve ``L' X = B`` (upper-triangular solve; reference ``U \\ B``).
+
+    Wide-RHS accuracy contract as for ``solve_lower``; scoped opt-out via
+    ``substitution_solves()``.
+    """
     from . import pallas_chol
 
     b_vec = B.ndim == 1
     Bm = B[:, None] if b_vec else B
-    if pallas_chol.should_use_wide_solve(L, Bm):
+    if _WIDE_SOLVES and pallas_chol.should_use_wide_solve(L, Bm):
         X = pallas_chol.solve_upper_wide(L, Bm)
     else:
         X = lax.linalg.triangular_solve(
@@ -131,7 +172,7 @@ def chol_solve(L: jax.Array, B: jax.Array) -> jax.Array:
     from . import pallas_chol
 
     # (a 1-D B can never satisfy the wide-RHS gate, so no reshaping here)
-    if B.ndim == 2 and pallas_chol.should_use_wide_solve(L, B):
+    if _WIDE_SOLVES and B.ndim == 2 and pallas_chol.should_use_wide_solve(L, B):
         return pallas_chol.chol_solve_wide(L, B)
     return solve_upper(L, solve_lower(L, B))
 

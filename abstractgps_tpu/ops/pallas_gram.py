@@ -13,8 +13,12 @@ The elementwise map ``g`` is the kernel pytree's ``_apply_sqdist`` method;
 its hyperparameter leaves (lengthscale-free isotropic kernels keep them
 scalar) are passed through SMEM so the kernel stays jit-traceable when
 hyperparameters are traced (e.g. under ``jax.grad``). The backward pass is a
-``custom_vjp`` that differentiates the equivalent XLA formulation — exact
-same math, so gradients are exact.
+``custom_vjp`` whose default path is the fused in-kernel sweep
+(``_bwd_pass`` — recomputes each tile's d² and contracts the cotangent with
+the tile's ∂g/∂(d², θ) in VMEM; ``logpdf_contraction`` fuses the gram-vjp
+with the logpdf cotangent build in a single pass). The equivalent XLA
+formulation is retained as the fallback/oracle path — identical math, so
+the tests can assert the fused sweep against it exactly.
 """
 
 from __future__ import annotations

@@ -145,3 +145,36 @@ def test_program_cache_rejects_config_mismatch(key):
     with pytest.raises(ValueError, match="different configuration"):
         run_mcmc(ld_b, init, key, num_chains=2, num_samples=4,
                  num_warmup=4, segment_size=2, program_cache=cache)
+
+
+def test_program_cache_pins_logdensity_against_id_reuse(key):
+    """CPython recycles object ids after GC: a rebuilt-per-call closure can
+    draw the SAME id as the dead one the cache was fingerprinted with,
+    silently sampling the first call's model. The cache must therefore hold
+    a strong reference to the original logdensity (so its id stays taken)
+    and refuse a rebuilt — even semantically identical — closure."""
+    import gc
+
+    from abstractgps_tpu.inference.mcmc import init_chain_positions, run_mcmc
+
+    init = init_chain_positions(key, jnp.zeros((2,)), num_chains=2)
+    cache = {}
+
+    def make_ld():
+        def ld(q):
+            return -0.5 * jnp.sum(q * q)
+        return ld
+
+    first = make_ld()
+    run_mcmc(first, init, key, num_chains=2, num_samples=4, num_warmup=4,
+             segment_size=2, program_cache=cache)
+    # the cache itself must keep the closure alive (the fingerprint's id
+    # must never be reusable while the cache lives)
+    assert cache["_logdensity"] is first
+    del first
+    gc.collect()
+    assert cache["_config"][0] == id(cache["_logdensity"])
+    # a rebuilt closure — whatever id it lands on — must be refused
+    with pytest.raises(ValueError, match="different configuration"):
+        run_mcmc(make_ld(), init, key, num_chains=2, num_samples=4,
+                 num_warmup=4, segment_size=2, program_cache=cache)

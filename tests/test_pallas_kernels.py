@@ -356,6 +356,62 @@ def test_solve_lower_dispatches_wide(rng, monkeypatch):
     assert not pallas_chol.should_use_wide_solve(L, B[:, :4])
 
 
+def test_wide_solve_ill_conditioned(rng):
+    """Validate the covmat.solve_lower accuracy contract at production
+    condition numbers: explicit-inverse (trtri+TRMM) vs substitution vs an
+    f64 oracle on a gram with kappa(K) ~ 1e8 (SE kernel, noise 1e-6 —
+    about the worst non-jitter-only case a GP user hits in f32)."""
+    import scipy.spatial.distance as ssd
+
+    n, m = 256, 64
+    x = rng.uniform(size=(n, 2))
+    d2 = ssd.cdist(x, x, "sqeuclidean")
+    K64 = np.exp(-0.5 * d2 / 0.5**2) + 1e-6 * np.eye(n)
+    kappa = np.linalg.cond(K64)
+    assert kappa > 1e6  # the test must actually be ill-conditioned
+    L64 = np.linalg.cholesky(K64)
+    B64 = rng.normal(size=(n, m))
+    X64 = np.linalg.solve(L64, B64)  # f64 oracle
+
+    L = jnp.asarray(L64, jnp.float32)
+    B = jnp.asarray(B64, jnp.float32)
+    X_wide = np.asarray(pallas_chol.solve_lower_wide(L, B), np.float64)
+    X_sub = np.asarray(jax.lax.linalg.triangular_solve(
+        L, B, left_side=True, lower=True), np.float64)
+
+    def relerr(X):
+        return np.linalg.norm(X - X64) / np.linalg.norm(X64)
+
+    # contract (covmat.solve_lower docstring): kappa(L) = sqrt(kappa(K))
+    # ~ 1e4 here, so the wide path's extra error stays ~1e-4..1e-3 relative
+    # and within ~10x of substitution's own f32 error
+    assert relerr(X_wide) < 2e-3, (relerr(X_wide), kappa)
+    assert relerr(X_wide) < 10 * max(relerr(X_sub), 1e-6)
+
+
+def test_substitution_solves_scoped_optout(rng, monkeypatch):
+    """covmat.substitution_solves() must force the XLA substitution path
+    even where the wide-RHS gate would fire, and restore routing on exit."""
+    monkeypatch.setattr(pallas_chol, "_MIN_N", 64)
+    monkeypatch.setattr(pallas_chol, "_WIDE_RHS", 32)
+    A = _spd(rng, 128)
+    L = jax.lax.linalg.cholesky(A)
+    B = jnp.asarray(rng.normal(size=(128, 40)), dtype=jnp.float32)
+    assert pallas_chol.should_use_wide_solve(L, B)
+
+    calls = []
+    orig = pallas_chol.solve_lower_wide
+    monkeypatch.setattr(pallas_chol, "solve_lower_wide",
+                        lambda *a: calls.append(1) or orig(*a))
+    with covmat.substitution_solves():
+        X_sub = covmat.solve_lower(L, B)
+    assert not calls  # wide path never invoked inside the context
+    X_wide = covmat.solve_lower(L, B)
+    assert calls  # routing restored on exit
+    np.testing.assert_allclose(np.asarray(X_sub), np.asarray(X_wide),
+                               atol=2e-4, rtol=2e-4)
+
+
 # ---------------------------------------------------------------------------
 # fused gram kernel
 # ---------------------------------------------------------------------------
