@@ -129,6 +129,40 @@ def test_logpdf_gradients_finite_diff(rng):
             assert np.allclose(g_flat.reshape(-1)[i], fd, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
+def test_rand_gradients_finite_diff(rng):
+    """Gradients THROUGH sampling: AD of a scalar functional of
+    ``fx.rand(key)`` wrt inputs and hyperparameters vs central differences
+    (test/finite_gp_projection.jl:105-127 FD-checks the rand pullback).
+    With the key fixed, rand is the deterministic reparameterized map
+    θ, x → m(x) + L(θ, x)·ξ — the path VI-through-sampling and pathwise
+    training differentiate."""
+    key = jax.random.PRNGKey(7)
+    x = jnp.asarray(rng.standard_normal((6, 2)))
+    xi_probe = jnp.asarray(rng.standard_normal(6))  # fixed contraction
+
+    def draw(xv, ell, s2, noise):
+        k = s2 * agp.with_lengthscale(agp.SqExponentialKernel(), ell)
+        fx = agp.GP(k)(xv, noise)
+        # nonlinear functional so FD probes L's full pullback, not a sum
+        return jnp.sum(jnp.cos(fx.rand(key)) * xi_probe)
+
+    args = [x, jnp.array(0.8), jnp.array(1.3), jnp.array(0.2)]
+    for argnum in range(4):
+        g = np.atleast_1d(np.asarray(jax.grad(draw, argnums=argnum)(*args)))
+        flat = np.atleast_1d(np.asarray(args[argnum], np.float64))
+        eps = 1e-6
+        for i in range(flat.size):
+            ap = [np.asarray(a, np.float64).copy() for a in args]
+            am = [np.asarray(a, np.float64).copy() for a in args]
+            np.reshape(ap[argnum], -1)[i] += eps
+            np.reshape(am[argnum], -1)[i] -= eps
+            fd = (draw(*[jnp.asarray(a) for a in ap])
+                  - draw(*[jnp.asarray(a) for a in am])) / (2 * eps)
+            np.testing.assert_allclose(g.reshape(-1)[i], fd,
+                                       rtol=1e-4, atol=1e-6)
+
+
 def test_zero_gradient_at_mean(rng):
     # grad of logpdf wrt y is zero at y = mean (test/finite_gp_projection.jl:170-178)
     x = jnp.asarray(rng.standard_normal(7))

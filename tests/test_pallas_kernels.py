@@ -356,6 +356,64 @@ def test_solve_lower_dispatches_wide(rng, monkeypatch):
     assert not pallas_chol.should_use_wide_solve(L, B[:, :4])
 
 
+@pytest.mark.slow
+def test_rand_gradients_through_pallas_cholesky(rng, monkeypatch):
+    """Differentiation-through-sampling on the PALLAS path: fx.rand routes
+    through pallas_cholesky (custom JVP) when the gate fires; FD-check the
+    resulting input/hyperparameter gradients (the reference FD-checks the
+    rand pullback, test/finite_gp_projection.jl:105-127). Interpret mode +
+    a widened gate runs the real kernel sweep on CPU at f64, so the FD
+    oracle stays tight."""
+    import abstractgps_tpu as agp
+
+    monkeypatch.setattr(pallas_chol, "should_use_pallas",
+                        lambda A: A.ndim == 2 and A.shape[-1] >= 16)
+    key = jax.random.PRNGKey(3)
+    x = jnp.asarray(rng.standard_normal((48, 2)))  # pad path: 48 % 32 != 0
+    xi_probe = jnp.asarray(rng.standard_normal(48))
+
+    def draw(xv, ell, s2):
+        k = s2 * agp.with_lengthscale(agp.Matern52Kernel(), ell)
+        fx = agp.GP(k)(xv, 0.1)
+        return jnp.sum(jnp.cos(fx.rand(key)) * xi_probe)
+
+    # the gate must actually be live for this config
+    K = agp.kernelmatrix(agp.Matern52Kernel(), x)
+    assert pallas_chol.should_use_pallas(K)
+
+    # tight oracle: the same draw through the lax.linalg path (gate off)
+    def draw_lax(xv, ell, s2):
+        pallas_chol.set_enabled(False)
+        try:
+            return draw(xv, ell, s2)
+        finally:
+            pallas_chol.set_enabled(True)
+
+    args = [x, jnp.array(0.9), jnp.array(1.2)]
+    for argnum in range(3):
+        g = np.atleast_1d(np.asarray(jax.grad(draw, argnums=argnum)(*args)))
+        g_lax = np.atleast_1d(np.asarray(
+            jax.grad(draw_lax, argnums=argnum)(*args)))
+        # AD-vs-AD at the kernel's own precision: the in-kernel dots pin
+        # preferred_element_type=f32 (production is f32-only), so the two
+        # paths agree to the f32 noise floor, not f64
+        np.testing.assert_allclose(g, g_lax, rtol=1e-4, atol=1e-5)
+        # FD on the PALLAS path itself: eps large enough that the f32
+        # forward noise (~1e-7·scale) stays below the FD signal
+        flat = np.atleast_1d(np.asarray(args[argnum], np.float64))
+        eps = 1e-3
+        idxs = range(flat.size) if flat.size <= 8 else (0, 17, 41, 95)
+        for i in idxs:
+            ap = [np.asarray(a, np.float64).copy() for a in args]
+            am = [np.asarray(a, np.float64).copy() for a in args]
+            np.reshape(ap[argnum], -1)[i] += eps
+            np.reshape(am[argnum], -1)[i] -= eps
+            fd = (draw(*[jnp.asarray(a) for a in ap])
+                  - draw(*[jnp.asarray(a) for a in am])) / (2 * eps)
+            np.testing.assert_allclose(g.reshape(-1)[i], fd,
+                                       rtol=2e-2, atol=5e-3)
+
+
 def test_wide_solve_ill_conditioned(rng):
     """Validate the covmat.solve_lower accuracy contract at production
     condition numbers: explicit-inverse (trtri+TRMM) vs substitution vs an
