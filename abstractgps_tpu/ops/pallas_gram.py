@@ -397,7 +397,7 @@ def logpdf_contraction(base_kernel, xprime, s2, alpha_g, alpha, gsum, T):
         param_refs = refs[:n_leaves]
         s2_ref, gsum_ref = refs[n_leaves:n_leaves + 2]
         (x_ref, z_ref, ag_ref, a_ref, t1_ref, t2_ref,
-         xbar_ref, leaf_ref) = refs[n_leaves + 2:]
+         xbar_ref, leaf_ref, comp_ref) = refs[n_leaves + 2:]
         i = pl.program_id(0)
         j = pl.program_id(1)
 
@@ -405,6 +405,7 @@ def logpdf_contraction(base_kernel, xprime, s2, alpha_g, alpha, gsum, T):
         def _init():
             xbar_ref[:] = jnp.zeros_like(xbar_ref)
             leaf_ref[:] = jnp.zeros_like(leaf_ref)
+            comp_ref[:] = jnp.zeros_like(comp_ref)
 
         xt = x_ref[:]   # (TN, D) rows
         zt = z_ref[:]   # (TN, D) cols (same array, j-indexed)
@@ -433,13 +434,28 @@ def logpdf_contraction(base_kernel, xprime, s2, alpha_g, alpha, gsum, T):
         # total x̄' = 2 × row part (C symmetric)
         xbar_ref[:] = xbar_ref[:] + 4.0 * (rs * xt - wz)
 
-        leaf_ref[:] = leaf_ref[:] + _pack_scalar_row(
+        # Neumaier-compensated accumulation of the scalar bars: the grid-j
+        # chain adds nb mixed-sign tile partials whose total nearly cancels
+        # for the s2 component (½Σαḡαᵀ·K vs ½ḡΣ·tr(K⁻¹K) — the documented
+        # ~2.5e-3 correlated σ²-grad rounding); carrying the rounding
+        # residual in comp_ref removes the accumulation part of that error
+        # for a few VPU adds per tile. Final value = leaf + comp (host).
+        part = _pack_scalar_row(
             [lb.astype(jnp.float32) for lb in leaf_bars] + [s2bar_part]
         )
+        acc = leaf_ref[:]
+        t = acc + part
+        lost = jnp.where(
+            jnp.abs(acc) >= jnp.abs(part),
+            (acc - t) + part,
+            (part - t) + acc,
+        )
+        comp_ref[:] = comp_ref[:] + lost
+        leaf_ref[:] = t
 
     nb = np_ // _TILE_N
     grid = (nb, nb)
-    xbar, leaf_part = pl.pallas_call(
+    xbar, leaf_part, comp_part = pl.pallas_call(
         body,
         grid=grid,
         in_specs=[
@@ -463,14 +479,17 @@ def logpdf_contraction(base_kernel, xprime, s2, alpha_g, alpha, gsum, T):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((np_, d), jnp.float32),
             jax.ShapeDtypeStruct((8 * nb, 128), jnp.float32),
+            jax.ShapeDtypeStruct((8 * nb, 128), jnp.float32),
         ),
         interpret=_INTERPRET,
     )(*smem, xp, xp, agp_, ap, Tp, Tp)
-    sums = leaf_part.sum(0)
+    sums = (leaf_part + comp_part).sum(0)
     leaf_bars = [sums[li] for li in range(n_leaves)]
     s2bar = sums[n_leaves]
     kbar = jax.tree_util.tree_unflatten(treedef, leaf_bars)
