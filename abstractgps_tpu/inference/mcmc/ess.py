@@ -104,9 +104,22 @@ def run_ess(
     num_samples: int = 1000,
     num_burnin: int = 100,
     num_chains: int | None = None,
+    mesh=None,
+    mesh_axis: str = "dp",
+    _program_only: bool = False,
 ):
     """Run ESS; ``q0`` is (dim,) or (num_chains, dim). Returns
-    (samples (chains, draws, dim), logliks (chains, draws))."""
+    (samples (chains, draws, dim), logliks (chains, draws)).
+
+    ``mesh``: optional Mesh — chains shard over ``mesh_axis`` via
+    ``shard_map`` (per-device local loops), exactly like ``run_mcmc``'s
+    chain sharding: ESS chains are embarrassingly parallel, so the
+    compiled program carries ZERO cross-device collectives (asserted in
+    tests/test_scaling_structure.py). ``num_chains`` must divide by the
+    mesh axis size. ``_program_only=True`` returns ``(run, (keys, q0))``
+    — the jitted program + example args — for structure tests and
+    retrace-free benchmarking (run_mcmc's measurement hook).
+    """
     kernel = ess_kernel(loglik, sample_prior)
     if num_chains is None:
         q0 = q0[None, :]
@@ -129,5 +142,15 @@ def run_ess(
         _, (qs, lls) = jax.lax.scan(step, (key, state), None, length=num_samples)
         return qs, lls
 
+    run_core = jax.vmap(one_chain)
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(mesh_axis)
+        run_core = jax.shard_map(run_core, mesh=mesh, in_specs=(spec, spec),
+                                 out_specs=spec, check_vma=False)
+    run = jax.jit(run_core)
     keys = jax.random.split(key, num_chains)
-    return jax.jit(jax.vmap(one_chain))(keys, q0)
+    if _program_only:
+        return run, (keys, q0)
+    return run(keys, q0)

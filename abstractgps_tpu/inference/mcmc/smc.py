@@ -62,6 +62,7 @@ def run_smc(
     proposal_scale: float | None = None,
     mesh=None,
     mesh_axis: str = "dp",
+    _program_only: bool = False,
 ) -> SMCResult:
     """Temper from the prior to the posterior.
 
@@ -175,5 +176,8 @@ def run_smc(
         from ...parallel.mesh import shard_along
 
         particles0 = shard_along(particles0, mesh, mesh_axis)
+    if _program_only:
+        # structure-test / retrace-free-benchmark hook (see run_mcmc)
+        return run, (key, particles0)
     out = run(key, particles0)
     return SMCResult(out.particles, out.log_Z, out.stage, out.accept)

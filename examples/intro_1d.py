@@ -84,6 +84,38 @@ def main(smoke=False):
           f"(MLE {float(theta_mle['ell']):.3f}), "
           f"accept={float(mcmc.accept_prob.mean()):.2f}")
 
+    # -- elliptical slice sampling over hyperparameters (script.jl:305-357) --
+    # The reference samples kernel parameters with EllipticalSliceSampling.jl
+    # under a Gaussian prior; here the SAME posterior as the NUTS phase —
+    # prior N(mean, I) on log-hyperparameters — is sampled by run_ess. ESS
+    # handles the Gaussian-prior factor exactly on the ellipse, so only the
+    # log marginal likelihood is evaluated in the slice loop (gradient-free:
+    # one gram+Cholesky per evaluation, no AD sweep).
+    from abstractgps_tpu.inference.mcmc import run_ess
+
+    prior_mean = jnp.asarray([0.0, 0.0, -2.0])  # (lell, ls2, lnoise2)
+
+    def loglik_ess(v):
+        th = v + prior_mean  # ellipse is zero-mean; shift at the call site
+        c = {"ell": jnp.exp(th[0]), "s2": jnp.exp(th[1]),
+             "noise2": jnp.exp(th[2])}
+        return build_fx(c, x).logpdf(y)
+
+    n_ess, n_ess_burn = (20, 10) if smoke else (2000, 200)
+    qs, lls = run_ess(
+        loglik_ess, lambda k: jax.random.normal(k, (3,)),
+        jnp.zeros((3,)), jax.random.PRNGKey(7),
+        num_samples=n_ess, num_burnin=n_ess_burn, num_chains=2,
+    )
+    ell_ess = np.exp(np.asarray(qs[..., 0] + prior_mean[0]).ravel())
+    print(f"ESS lengthscale posterior: median={np.median(ell_ess):.3f} "
+          f"(NUTS {np.median(ell_post):.3f}); "
+          f"{n_ess} draws x 2 chains, gradient-free")
+    if not smoke:
+        # the two samplers target the SAME posterior — medians must agree
+        assert abs(np.log(np.median(ell_ess) / np.median(ell_post))) < 0.5, (
+            np.median(ell_ess), np.median(ell_post))
+
     if not smoke:
         import matplotlib
         matplotlib.use("Agg")
