@@ -29,8 +29,18 @@ Matern52 (p=3), scaled (``σ² * k``) and lengthscale
 Discretization uses the exact matrix exponential: the Matérn companion
 matrix ``F`` has a single eigenvalue ``−λ``, so ``N = F + λI`` is nilpotent
 of degree p and ``expm(F·dt) = e^{−λ·dt} (I + N·dt + (N·dt)²/2)`` exactly —
-no iterative expm, no Padé, just fused VPU math. Process noise comes from
-stationarity: ``Q = P∞ − A P∞ Aᵀ``.
+no iterative expm, no Padé, just fused VPU math. Process noise is computed
+in cancellation-free incomplete-gamma closed form (``_stable_Q``) rather
+than as ``P∞ − A P∞ Aᵀ``.
+
+f32 accuracy contract (f64 is exact to ~1e-9 everywhere): single Matérn
+components hold ~1e-4 relative logpdf error even at densely sampled inputs
+(λ·dt ≈ 0.02, n=5000 — measured vs f64 oracle). Kernel SUMS degrade with
+component redundancy — two identical components measured 1.8e-2 (the
+near-unobservable difference mode ill-conditions the covariance filter;
+Joseph form + symmetrization don't recover it) — a square-root
+(Cholesky-factor) filter is the known fix and future work; use f64 on CPU
+when summed-kernel logpdf accuracy below 1e-2 matters.
 """
 
 from __future__ import annotations
@@ -168,6 +178,62 @@ def _component_matrices(lam, p: int, var, dtype):
     return N, P, H
 
 
+def _stable_Q(lam, p: int, var, dts, dtype):
+    """Process noise Q(dt) in cancellation-free closed form, (n, p, p).
+
+    ``Q = P∞ − A P∞ Aᵀ`` is exact algebra but catastrophic numerics at
+    small λ·dt: Q₁₁ ~ (λdt)^(2p−1) computed as a difference of O(1)
+    terms — at f32 with densely sampled inputs (λdt ≈ 0.02) that is ~1%
+    relative error in Q and was measured as 0.9% error in the n=5000
+    logpdf (f64 oracle). Instead integrate the white-noise forcing
+    directly: with v(s) = e^{λs}·(e^{Fs}L) a degree-(p−1) POLYNOMIAL
+    (F+λI is nilpotent), every entry is
+
+        Q_ij = q ∫₀^dt v_i v_j e^{−2λs} ds = q Σ_k c_k · I_k,
+        I_k  = k!/(2λ)^{k+1} · P(k+1, 2λdt),
+
+    with P the regularized lower incomplete gamma (``gammainc``) — each
+    I_k evaluated positively and stably for all dt. The c_k sums below
+    are pre-reduced per Matérn order; every coefficient set was checked
+    against the stationary limit Q(∞) = P∞ entrywise. Q₁₁ = σ²P(2p−1,
+    2λdt) exactly.
+    """
+    from jax.scipy.special import gammainc
+
+    x = (2.0 * lam * dts).astype(dtype)
+    one = jnp.ones_like(x)
+    if p == 1:
+        q11 = var * gammainc(1.0 * one, x)
+        return q11[:, None, None]
+    if p == 2:
+        P2, P3 = gammainc(2.0 * one, x), gammainc(3.0 * one, x)
+        q11 = var * P3
+        q12 = var * lam * (P2 - P3)
+        q22 = var * lam**2 * (2.0 * gammainc(1.0 * one, x) - 2.0 * P2 + P3)
+        row1 = jnp.stack([q11, q12], axis=-1)
+        row2 = jnp.stack([q12, q22], axis=-1)
+        return jnp.stack([row1, row2], axis=-2)
+    if p == 3:
+        P1 = gammainc(1.0 * one, x)
+        P2 = gammainc(2.0 * one, x)
+        P3 = gammainc(3.0 * one, x)
+        P4 = gammainc(4.0 * one, x)
+        P5 = gammainc(5.0 * one, x)
+        l2 = lam * lam
+        q11 = var * P5
+        q12 = var * lam * (P4 - P5)
+        q13 = var * l2 / 3.0 * (2.0 * P3 - 6.0 * P4 + 3.0 * P5)
+        q22 = var * l2 / 3.0 * (4.0 * P3 - 6.0 * P4 + 3.0 * P5)
+        q23 = var * lam * l2 / 3.0 * (4.0 * P2 - 10.0 * P3 + 9.0 * P4 - 3.0 * P5)
+        q33 = var * l2 * l2 / 3.0 * (
+            8.0 * P1 - 16.0 * P2 + 20.0 * P3 - 12.0 * P4 + 3.0 * P5)
+        row1 = jnp.stack([q11, q12, q13], axis=-1)
+        row2 = jnp.stack([q12, q22, q23], axis=-1)
+        row3 = jnp.stack([q13, q23, q33], axis=-1)
+        return jnp.stack([row1, row2, row3], axis=-2)
+    raise ValueError(p)  # pragma: no cover
+
+
 def _build_ssm(kernel, x_sorted, dtype):
     """Batched discrete-time model over the sorted timeline.
 
@@ -190,7 +256,7 @@ def _build_ssm(kernel, x_sorted, dtype):
             return jnp.exp(-lam * dt) * series
 
         A = jax.vmap(A_of)(dts)  # (n-1, p, p)
-        Q = P[None] - A @ P[None] @ jnp.swapaxes(A, -1, -2)
+        Q = _stable_Q(lam, p, var, dts, dtype)
         blocks_A.append(A)
         blocks_Q.append(Q)
         Hs.append(H)
@@ -257,19 +323,131 @@ def _seq_filter(A, Q, H, y, r, obs_mask):
     return m_f, P_f, m_p, P_p, jnp.sum(lls)
 
 
+def _inv_posdef_small(M):
+    """Batched inverse of (n, D, D) matrices, closed-form for D ≤ 3.
+
+    The parallel-filter combine inverts ``I + C J`` (positive-definite
+    products of covariance-like factors) at every scan level.
+    ``jnp.linalg.solve`` there was measured to make XLA compile time scale
+    LINEARLY with n (~3 ms/point on CPU: ~25 s at n=8k, extrapolating to
+    ~1 h at n=10⁶) and lowers to batched LU — absurd for the p ∈ {1,2,3}
+    Matérn state dims. Adjugate/determinant closed forms are branch-free
+    VPU math; D > 3 (big kernel sums) falls back to ``linalg.solve``.
+    """
+    D = M.shape[-1]
+    if D == 1:
+        return 1.0 / M
+    if D == 2:
+        a, b = M[..., 0, 0], M[..., 0, 1]
+        c, d = M[..., 1, 0], M[..., 1, 1]
+        det = a * d - b * c
+        return jnp.stack([
+            jnp.stack([d, -b], axis=-1),
+            jnp.stack([-c, a], axis=-1),
+        ], axis=-2) / det[..., None, None]
+    if D == 3:
+        a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+        d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+        g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+        A_ = e * i - f * h
+        B_ = -(d * i - f * g)
+        C_ = d * h - e * g
+        det = a * A_ + b * B_ + c * C_
+        adjT = jnp.stack([
+            jnp.stack([A_, -(b * i - c * h), b * f - c * e], axis=-1),
+            jnp.stack([B_, a * i - c * g, -(a * f - c * d)], axis=-1),
+            jnp.stack([C_, -(a * h - b * g), a * e - b * d], axis=-1),
+        ], axis=-2)
+        return adjT / det[..., None, None]
+    eye = jnp.eye(D, dtype=M.dtype)
+    return jnp.linalg.solve(M, jnp.broadcast_to(eye, M.shape))
+
+
+_PAR_CHUNK = 4096  # inner associative-scan width for the chunked filter
+
+
+def _chunked_associative_scan(combine, elems, identity, chunk=None):
+    """Inclusive associative scan with O(chunk) compile cost.
+
+    A flat ``lax.associative_scan`` at n = 10⁵–10⁶ was measured to compile
+    in minutes-to-an-hour (XLA time grows with every level's full-length
+    slice set). Standard blocked decomposition instead: reshape to
+    (n/chunk, chunk) chunks, run ONE ``lax.scan`` over chunks whose body
+    does the within-chunk associative scan (fixed width → fixed compile
+    cost) and composes the running cross-chunk prefix into each element.
+    The carried aggregate makes the scan body's data dependency the chunk
+    AGGREGATE only; within-chunk work stays parallel (log₂ chunk depth on
+    the VPU), so device utilization matches the flat scan while compile
+    time is O(chunk + 1) regardless of n.
+
+    ``identity`` is the monoid's left identity (combine(identity, x) == x),
+    used as the initial cross-chunk carry. The tail is padded with all-zero
+    elements and the padded outputs sliced off — ``combine`` must be
+    well-defined (no NaN/inf) on zero elements. ``combine`` must accept
+    leading-batch pytrees (the same batched combine the flat scan uses).
+    """
+    if chunk is None:
+        chunk = _PAR_CHUNK  # late-bound so tests/tuning can override
+    n = jax.tree.leaves(elems)[0].shape[0]
+    if n <= chunk:
+        return lax.associative_scan(combine, elems)
+    pad = (-n) % chunk
+    nc = (n + pad) // chunk
+
+    def pad_reshape(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+        return x.reshape((nc, chunk) + x.shape[1:])
+
+    elems_c = jax.tree.map(pad_reshape, elems)
+
+    def body(carry, chunk_elems):
+        within = lax.associative_scan(combine, chunk_elems)
+        # compose the running cross-chunk prefix into every element
+        carry_b = jax.tree.map(
+            lambda c: jnp.broadcast_to(c[None], (chunk,) + c.shape), carry
+        )
+        out = combine(carry_b, within)
+        new_carry = jax.tree.map(lambda o: o[-1], out)
+        return new_carry, out
+
+    # the left-identity carry lets ONE scan cover every chunk (a separate
+    # unrolled first chunk would compile a second associative-scan
+    # instance for nothing)
+    _, out = lax.scan(body, identity, elems_c)
+    return jax.tree.map(
+        lambda x: x.reshape((-1,) + x.shape[2:])[:n], out
+    )
+
+
 def _par_filter(A, Q, H, y, r, obs_mask):
-    """Parallel-in-time Kalman filter via ``lax.associative_scan``
-    (Särkkä & García-Fernández 2020, filtering elements). O(log N) depth.
+    """Parallel-in-time Kalman filter via associative scan
+    (Särkkä & García-Fernández 2020, filtering elements). O(log chunk)
+    depth within chunks (``_chunked_associative_scan``).
 
     Unobserved steps degenerate to pure prediction elements (K = 0, η = 0,
     J = 0). Step 0's A=0/Q=P∞ encodes the stationary prior exactly as in
     the sequential filter. The marginal likelihood is reassembled afterwards
     from the filtered means/covs shifted by one step (vectorized, no extra
     scan).
+
+    Padding note: ``_chunked_associative_scan`` pads the tail with
+    all-zeros elements. A zero element (A=0, b=0, C=0, η=0, J=0) is
+    ABSORBING on the left-argument side (combine(x, zero) keeps only
+    zero's prediction through x — not identity), but padded outputs are
+    sliced off before use and zero J/C keep every inverse well-posed, so
+    the first n outputs are exact.
     """
     D = H.shape[0]
     dtype = H.dtype
     eye = jnp.eye(D, dtype=dtype)
+
+    # fusion fence: letting XLA fuse the (n,D,D) model construction
+    # (_build_ssm's expm/blkdiag expressions) into the scan consumer was
+    # measured to blow CPU compile up 14x (179 s vs 12.8 s at n=10k,
+    # identical output); the barrier materializes A/Q once and keeps the
+    # scan body self-contained
+    A, Q, y, r = lax.optimization_barrier((A, Q, y, r))
 
     S = jnp.einsum("i,nij,j->n", H, Q, H) + r                      # (n,)
     K = jnp.where(obs_mask[:, None], (Q @ H) / S[:, None], 0.0)    # (n, D)
@@ -285,16 +463,12 @@ def _par_filter(A, Q, H, y, r, obs_mask):
     def combine(e1, e2):
         A1, b1, C1, e1t, J1 = e1
         A2, b2, C2, e2t, J2 = e2
-        T = jnp.linalg.solve(
-            eye[None] + C1 @ J2, jnp.broadcast_to(eye, C1.shape)
-        )  # (I + C1 J2)⁻¹
+        T = _inv_posdef_small(jnp.broadcast_to(eye, C1.shape) + C1 @ J2)
         AT = A2 @ T
         Anew = AT @ A1
         bnew = jnp.einsum("nij,nj->ni", AT, b1 + jnp.einsum("nij,nj->ni", C1, e2t)) + b2
         Cnew = AT @ C1 @ jnp.swapaxes(A2, -1, -2) + C2
-        Tt = jnp.linalg.solve(
-            eye[None] + J2 @ C1, jnp.broadcast_to(eye, C1.shape)
-        )  # (I + J2 C1)⁻¹
+        Tt = _inv_posdef_small(jnp.broadcast_to(eye, C1.shape) + J2 @ C1)
         A1T = jnp.swapaxes(A1, -1, -2) @ Tt
         enew = jnp.einsum(
             "nij,nj->ni", A1T, e2t - jnp.einsum("nij,nj->ni", J2, b1)
@@ -302,8 +476,11 @@ def _par_filter(A, Q, H, y, r, obs_mask):
         Jnew = A1T @ J2 @ A1 + J1
         return (Anew, bnew, Cnew, enew, Jnew)
 
-    _, b_f, C_f, _, _ = lax.associative_scan(
-        combine, (A_el, b_el, C_el, eta_el, J_el)
+    # identity of the filtering-element monoid: combine(id, x) == x
+    identity = (eye, jnp.zeros((D,), dtype), jnp.zeros((D, D), dtype),
+                jnp.zeros((D,), dtype), jnp.zeros((D, D), dtype))
+    _, b_f, C_f, _, _ = _chunked_associative_scan(
+        combine, (A_el, b_el, C_el, eta_el, J_el), identity
     )
     m_f, P_f = b_f, C_f  # filtered moments
 

@@ -86,6 +86,29 @@ def main():
     rel = abs(lp_sh - lp_dense) / abs(lp_dense)
     check("bigN_dense_vs_sharded_reldiff", rel, rel < 1e-3, fmt="{:.2e}")
 
+    # Markov backend on the chip: the O(N) state-space filter agrees with
+    # the dense O(N^3) Cholesky path at N=8192 on 1-D inputs (the repo's
+    # linear-time exact tier; models/markov.py). Both the sequential scan
+    # and the parallel-in-time associative filter are asserted.
+    from abstractgps_tpu.models.markov import markov_logpdf
+
+    t1d = jnp.asarray(np.sort(rngN.uniform(0, 50, size=8192)),
+                      jnp.float32)[:, None]
+    y1d = jnp.asarray(rngN.normal(size=8192), jnp.float32)
+    kern1d = 1.0 * agp.with_lengthscale(agp.Matern32Kernel(), 0.5)
+    fx1d = agp.GP(kern1d)(t1d, 0.1)
+    lp_dense1d = float(jax.jit(lambda: fx1d.logpdf(y1d))())
+    lp_seq = float(jax.jit(lambda: markov_logpdf(fx1d, y1d))())
+    lp_par = float(jax.jit(lambda: markov_logpdf(fx1d, y1d, parallel=True))())
+    rel_seq = abs(lp_seq - lp_dense1d) / abs(lp_dense1d)
+    rel_par = abs(lp_par - lp_dense1d) / abs(lp_dense1d)
+    # threshold: agreement of two INDEPENDENT f32 paths — the dense bf16x3
+    # gram+chol carries ~1e-3 of its own error at this correlated config
+    # (markov itself measures ~1.5e-4 vs the f64 oracle; see
+    # tests/test_markov.py::test_f32_accuracy_dense_sampling)
+    check("markov_seq_vs_dense_reldiff", rel_seq, rel_seq < 5e-3, fmt="{:.2e}")
+    check("markov_par_vs_dense_reldiff", rel_par, rel_par < 5e-3, fmt="{:.2e}")
+
     # config 5: deep-kernel learning
     import deep_kernel_learning
 

@@ -110,6 +110,49 @@ def test_markov_jits_and_scales(rng):
     assert np.isfinite(float(ll))
 
 
+def test_chunked_par_filter_matches_flat(rng):
+    """The chunked associative scan (n > _PAR_CHUNK) is exact vs the
+    sequential filter, including a non-chunk-multiple n (zero padding)."""
+    from abstractgps_tpu.models import markov as mk
+
+    old = mk._PAR_CHUNK
+    mk._PAR_CHUNK = 64  # force the chunked path at test sizes
+    try:
+        for n in (250, 256):
+            x = jnp.asarray(np.sort(rng.uniform(0.0, 6.0, size=n)))
+            y = jnp.asarray(rng.normal(size=n))
+            fx = agp.GP(agp.Matern32Kernel() + agp.Matern52Kernel())(x, 0.1)
+            got = float(markov_logpdf(fx, y, parallel=True))
+            want = float(markov_logpdf(fx, y))
+            np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-8)
+    finally:
+        mk._PAR_CHUNK = old
+
+
+@pytest.mark.slow
+def test_f32_accuracy_dense_sampling(rng):
+    """f32 logpdf error in the small-λdt cancellation regime stays bounded.
+
+    The stable incomplete-gamma Q (``_stable_Q``) fixed a 0.9% f32 logpdf
+    error at densely sampled inputs (n=5000 over 60 lengthscales) down to
+    ~1.5e-4; this pins that budget so a Q-construction regression trips.
+    Sum kernels with redundant components remain ~1e-2 at f32 (filter
+    conditioning, not Q — documented limitation; use f64 there).
+    """
+    n = 4000
+    x64 = np.sort(rng.uniform(0.0, 30.0, size=n))
+    y64 = rng.normal(size=n)
+    for kern in (1.0 * agp.with_lengthscale(agp.Matern32Kernel(), 0.5),
+                 0.8 * agp.with_lengthscale(agp.Matern52Kernel(), 0.4)):
+        fx64 = agp.GP(kern)(jnp.asarray(x64), 0.1)
+        want = float(markov_logpdf(fx64, jnp.asarray(y64)))
+        fx32 = agp.GP(kern)(jnp.asarray(x64, jnp.float32), np.float32(0.1))
+        for parallel in (False, True):
+            got = float(markov_logpdf(fx32, jnp.asarray(y64, jnp.float32),
+                                      parallel=parallel))
+            assert abs(got - want) / abs(want) < 1e-3, (kern, parallel, got, want)
+
+
 def test_unsupported_kernels_raise():
     assert not is_markov_kernel(agp.SqExponentialKernel())
     assert not is_markov_kernel(agp.Matern32Kernel() * agp.Matern52Kernel())
