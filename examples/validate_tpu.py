@@ -28,8 +28,11 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-sys.path.insert(0, "examples")
-sys.path.insert(0, "/root/repo/examples")
+import os
+
+_here = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _here)                       # examples/ (sibling scripts)
+sys.path.insert(0, os.path.dirname(_here))      # repo root (abstractgps_tpu)
 
 import numpy as np  # noqa: E402
 
