@@ -202,6 +202,165 @@ def _chol_inv_block(A: jax.Array, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# Slab mega-kernel: factor a whole (_OUTER, _OUTER) diagonal block in ONE
+# Pallas launch (round 5).
+# ---------------------------------------------------------------------------
+
+
+def _sdot(a, b, dn, interpret: bool):
+    """bf16 hi/lo split dot at DEFAULT precision — the round-4-validated
+    primitive (34.6 TF/s in-kernel vs 22.5 at HIGHEST, 4.4e-6 rel err vs
+    HIGH's 1.3e-5). Mosaic rejects Precision.HIGH in-kernel, so this is the
+    only way to bf16x3-class throughput inside a kernel. Interpreter mode
+    uses a single HIGHEST f32 dot instead: XLA:CPU accumulates bf16 dots in
+    bf16 (measured 4.9e-4 error on the slab factor vs 1.0e-6 compiled), so
+    the split emulation is NOT faithful to the TPU there."""
+    if interpret:
+        return lax.dot_general(a, b, dn, precision=lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def f(x, y):
+        return lax.dot_general(x, y, dn, precision=lax.Precision.DEFAULT,
+                               preferred_element_type=jnp.float32)
+
+    return f(ah, bh) + f(ah, bl) + f(al, bh)
+
+
+def _factor_invert_values(M):
+    """(Lt, W=L⁻¹) of one symmetric (B, B) VMEM-resident block, value-based.
+
+    Same group-step algorithm as ``_chol_inv_block_body`` (8-column groups,
+    interleaved inverse accumulation, Newton polish) but carrying M/W as
+    SSA values instead of scratch refs, so it can be instantiated several
+    times inside the slab kernel. Measured 134 µs for a full 8-block slab
+    (vs 8 × 29.5 µs + XLA glue for the per-block path): Mosaic overlaps
+    these VPU chains with the slab's MXU trailing updates."""
+    B = M.shape[0]
+    R = _GROUP
+    HI = lax.Precision.HIGHEST
+    laneB = lax.broadcasted_iota(jnp.int32, (1, B), 1)
+    rowB = lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+    eyeB = (rowB == laneB).astype(M.dtype)
+
+    Wacc = eyeB
+    rows_out = []
+    Mk = M
+    for g in range(B // R):
+        q0 = g * R
+        G = Mk[q0:q0 + R, :]
+        C = Mk[:, q0:q0 + R]
+        crows, ccols = [], []
+        for t in range(R):
+            gt = G[t:t + 1, :]
+            ct = C[:, t:t + 1]
+            for i in range(t):
+                coef = ccols[i][q0 + t, 0]
+                gt = gt - coef * crows[i]
+                ct = ct - coef * ccols[i]
+            piv = gt[0, q0 + t]
+            s_inv = lax.rsqrt(piv)
+            crows.append(jnp.where(laneB >= q0 + t, gt * s_inv, 0.0))
+            ccols.append(jnp.where(rowB >= q0 + t, ct * s_inv, 0.0))
+        CrowM = jnp.concatenate(crows, axis=0)
+        CcolM = jnp.concatenate(ccols, axis=1)
+        rows_out.append(CrowM)
+        Mk = Mk - jnp.dot(CcolM, CrowM, precision=HI,
+                          preferred_element_type=jnp.float32)
+        Wg = Wacc[q0:q0 + R, :]
+        wrows, vcols = [], []
+        for t in range(R):
+            onehot = (rowB == (q0 + t)).astype(M.dtype)
+            ct = ccols[t]
+            ltt = jnp.sum(jnp.where(rowB == (q0 + t), ct, 0.0))
+            v = (ct - onehot) / ltt
+            wt = Wg[t:t + 1, :]
+            for i in range(t):
+                wt = wt - vcols[i][q0 + t, 0] * wrows[i]
+            wrows.append(wt)
+            vcols.append(v)
+        WrowM = jnp.concatenate(wrows, axis=0)
+        VM = jnp.concatenate(vcols, axis=1)
+        Wacc = Wacc - jnp.dot(VM, WrowM, precision=HI,
+                              preferred_element_type=jnp.float32)
+
+    Lt = jnp.concatenate(rows_out, axis=0)
+    Rm = lax.dot_general(Lt, Wacc, (((0,), (0,)), ((), ())),
+                         precision=HI, preferred_element_type=jnp.float32)
+    corr = jnp.dot(Wacc, Rm, precision=HI, preferred_element_type=jnp.float32)
+    Wacc = jnp.where(rowB >= laneB, 2.0 * Wacc - corr, 0.0)
+    return Lt, Wacc
+
+
+def _slab_body(interpret, s_ref, lt_ref, w_ref, m_scr):
+    """Factor one (W, W) SPD slab-diagonal block: for each of W/B
+    sub-blocks, factor+invert in VMEM, then TRSM the slab-local panel and
+    apply the trailing update with split-dot GEMMs — all in one launch.
+
+    Invariant: only m_scr's LOWER triangle is maintained; diagonal blocks
+    re-symmetrize locally (a B×B transpose), panels read the lower part,
+    and trailing updates write full squares whose upper-garbage is never
+    read. All products are dot_general contractions — no (rest, B) or
+    (W, W) transposes (Mosaic lane/sublane shuffles made a transpose-ful
+    first cut 13× slower). Outputs: ``lt_ref`` row j = column j of the slab
+    factor; ``w_ref[k]`` = L_kk⁻¹ for each diagonal sub-block.
+    """
+    W = s_ref.shape[0]
+    B = _BLOCK
+    rowB = lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+    laneB = lax.broadcasted_iota(jnp.int32, (1, B), 1)
+
+    m_scr[:] = s_ref[:]
+    lt_ref[:] = jnp.zeros((W, W), s_ref.dtype)
+
+    for k in range(W // B):
+        r0 = k * B
+        Mk_raw = m_scr[r0:r0 + B, r0:r0 + B]
+        Mk_low = jnp.where(rowB >= laneB, Mk_raw, 0.0)
+        Mk = Mk_low + jnp.where(rowB > laneB, Mk_raw, 0.0).T
+        Lt_k, W_k = _factor_invert_values(Mk)
+        w_ref[k] = W_k
+        lt_ref[r0:r0 + B, r0:r0 + B] = Lt_k
+        if r0 + B < W:
+            P = m_scr[r0 + B:, r0:r0 + B]
+            # L21ᵀ = W_k Pᵀ: contract dim1×dim1 → (B, rest)
+            L21T = _sdot(W_k, P, (((1,), (1,)), ((), ())), interpret)
+            lt_ref[r0:r0 + B, r0 + B:] = L21T
+            # trailing −= L21 L21ᵀ: contract dim0×dim0 of L21T → (rest, rest)
+            m_scr[r0 + B:, r0 + B:] = (
+                m_scr[r0 + B:, r0 + B:]
+                - _sdot(L21T, L21T, (((0,), (0,)), ((), ())), interpret))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _slab_factor(S: jax.Array, interpret: bool = False):
+    """``(Ltᵀ-layout slab factor, (W/B, B, B) diag-block inverses)`` of one
+    (W, W) SPD slab-diagonal block (lower triangle read)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    W = S.shape[0]
+    assert W % _BLOCK == 0, W
+    return pl.pallas_call(
+        functools.partial(_slab_body, interpret),
+        out_shape=(
+            jax.ShapeDtypeStruct((W, W), S.dtype),
+            jax.ShapeDtypeStruct((W // _BLOCK, _BLOCK, _BLOCK), S.dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((W, W), S.dtype)],
+        interpret=interpret,
+    )(S)
+
+
+# ---------------------------------------------------------------------------
 # Triangular-inverse block kernel (same elementary-factor loop, L given).
 # ---------------------------------------------------------------------------
 
@@ -336,6 +495,7 @@ def _mm(a, b):
 
 
 _OUTER = 1024  # outer panel width for the two-level sweep
+_SLAB = True   # use the slab mega-kernel for full-width diagonal blocks
 
 
 def _left_looking_sweep(npad: int, block: int, panel_fn, dtype, rhs=None):
@@ -405,6 +565,43 @@ def _sweep_slabs(npad: int, block: int, panel_fn, dtype, rhs=None):
             S = S - _mm(Sf_j[o:], Sf_j[o:o + w].T)
         rows = npad - r0
         Sf = jnp.zeros((rows, w), dtype)
+        if _SLAB and w == _OUTER:
+            # slab mega-kernel path: the whole (w, w) diagonal block —
+            # 8 diag factorizations, slab-local TRSMs, trailing updates —
+            # in ONE Pallas launch (134 µs/slab vs 8×29.5 µs + XLA glue
+            # for the per-block path; forward 128.5 → see performance.md)
+            Lt_slab, Ws = _slab_factor(S[:w], interpret=_INTERPRET)
+            Sf = dus(Sf, Lt_slab.T, (0, 0))
+            zs_slab = []
+            if R is not None:
+                # blocked forward substitution within the slab, reusing
+                # the in-kernel diag inverses; one fat below-slab update
+                for j in range(w // block):
+                    jb = j * block
+                    rj = R[r0 + jb:r0 + jb + block]
+                    if j:
+                        zcat = jnp.concatenate(zs_slab, axis=0)
+                        # L[jb:, :jb] = Lt_slab[:jb, jb:jb+B]ᵀ
+                        rj = rj - lax.dot_general(
+                            Lt_slab[:jb, jb:jb + block], zcat,
+                            (((0,), (0,)), ((), ())),
+                            precision=lax.Precision.HIGHEST)
+                    zs_slab.append(_mm(Ws[j], rj))
+                zs.extend(zs_slab)
+            if rows > w:
+                for j in range(w // block):
+                    jb = j * block
+                    P = S[w:, jb:jb + block]
+                    if j:
+                        P = P - _mm(Sf[w:, :jb], Lt_slab[:jb, jb:jb + block])
+                    L21 = _mm(P, Ws[j].T)
+                    Sf = dus(Sf, L21, (w, jb))
+            if R is not None and r0 + w < npad:
+                z_slab = jnp.concatenate(zs_slab, axis=0)   # (w, q)
+                R = dus(R, R[r0 + w:] - _mm(Sf[w:, :], z_slab), (r0 + w, 0))
+            slabs.append((r0, Sf))
+            r0 += w
+            continue
         for rr in range(0, w, block):
             P = S[rr:, rr:rr + block]
             if rr:
